@@ -1,0 +1,70 @@
+"""Persistent DP arena replicating abPOA's s_mem reuse semantics.
+
+The reference allocates ONE flat SIMD arena per aligner (qp | DP rows | qi,
+ref simd_abpoa_realloc /root/reference/src/simd_abpoa_align.c:1178-1208) and
+only reallocates (free + malloc, content discarded) when a larger size is
+needed (kroundup64). Crucially it never clears the arena between alignment
+calls, and some DP reads (cells inside the snapped band but outside every
+predecessor's fill range, and unguarded backtrack probes) hit cells that the
+current call never wrote — i.e. the previous alignment's matrix. The
+outputs on multi-call runs therefore depend on this residue.
+
+To byte-match the reference we model the arena: a persistent byte buffer,
+grown with kroundup64 and zero-filled on growth (glibc serves these multi-MB
+blocks via mmap -> fresh zero pages; free+malloc of a bigger block discards
+old content), with per-call dtype/layout views exactly like the C code.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SIMD_TOTAL_BYTES = 32  # AVX2 register width used by the reference build
+
+
+def kroundup64(x: int) -> int:
+    x -= 1
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> s
+    return x + 1
+
+
+class SimdArena:
+    def __init__(self):
+        self.buf = np.zeros(0, dtype=np.uint8)
+        self.s_msize = 0
+
+    def ensure(self, n_bytes: int):
+        """ref simd_abpoa_realloc (:1194-1198): grow-only, content discarded."""
+        if n_bytes > self.s_msize:
+            self.s_msize = kroundup64(n_bytes)
+            self.buf = np.zeros(self.s_msize, dtype=np.uint8)
+
+    def layout(self, params, gn: int, qlen: int, pn: int, dtype):
+        """Compute per-call views (qp, DP planes, qi) like the C layout.
+
+        Returns (qp[m, width], dp[gn, n_planes, width], qi[width]) where
+        width = dp_sn*pn elements of `dtype`.
+        """
+        from ..params import LINEAR_GAP, AFFINE_GAP, EXTEND_MODE
+        size = SIMD_TOTAL_BYTES
+        sn = (qlen + pn) // pn
+        m = params.m
+        if params.gap_mode == LINEAR_GAP:
+            planes = 1
+        elif params.gap_mode == AFFINE_GAP:
+            planes = 3
+        else:
+            planes = 5
+        need = sn * m * size + sn * gn * planes * size
+        has_qi = params.wb >= 0 or params.align_mode == EXTEND_MODE
+        if has_qi:
+            need += sn * size
+        self.ensure(need)
+        width = sn * (size // dtype().itemsize)  # == dp_sn * pn elements
+        elems = self.buf.view(dtype)
+        qp = elems[:m * width].reshape(m, width)
+        dp = elems[m * width:(m + gn * planes) * width].reshape(gn, planes,
+                                                                width)
+        qi = elems[(m + gn * planes) * width:(m + gn * planes + 1) * width] \
+            if has_qi else None
+        return qp, dp, qi
