@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-SIMD_TOTAL_BYTES = 32  # AVX2 register width used by the reference build
+SIMD_TOTAL_BYTES = 64  # AVX-512 register width used by the reference build
 
 
 def kroundup64(x: int) -> int:

@@ -50,10 +50,18 @@ class AlignResult:
 
 
 def _simd_params(bits: int):
-    """AVX2 lane geometry (ref simd_abpoa_align.c:24-29): pn lanes, log2 steps."""
+    """Lane geometry (pn lanes per vector, log2 scan steps).
+
+    The reference build on this hardware runs the AVX-512 branch
+    (ref simd_abpoa_align.c:18-23): its `#undef __AVX512F__` in
+    simd_instruction.h:17 is silently undone by immintrin.h's
+    `#pragma GCC pop_options` on modern GCC, so with -march=native on an
+    AVX-512 CPU pn = 32 (int16) / 16 (int32) with 64-byte vectors. Band
+    snapping and the masked F-scan depend on pn, so we mirror it.
+    """
     if bits == 16:
-        return 16, 4  # pn, log_n
-    return 8, 3
+        return 32, 5  # pn, log_n
+    return 16, 4
 
 
 def align_sequence_to_subgraph(graph, params, beg_node_id: int, end_node_id: int,
