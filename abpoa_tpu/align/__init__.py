@@ -18,6 +18,10 @@ def align_sequence_to_subgraph(graph, params, beg_node_id, end_node_id,
         return None
     if not graph.is_topological_sorted:
         graph.topological_sort(params)
+    if (getattr(params, "engine", "auto") == "jax"
+            and beg_node_id == SRC_NODE_ID and end_node_id == SINK_NODE_ID):
+        from .engine_jax import align_sequence_to_graph_jax
+        return align_sequence_to_graph_jax(graph, params, query)
     return _np_subgraph(graph, params, beg_node_id, end_node_id, query,
                         arena=arena)
 

@@ -1,0 +1,218 @@
+"""JAX/TPU alignment engine: host wrapper around ops.dp_xla.
+
+Exports the POAGraph to padded dense arrays (SURVEY design delta #1:
+pointer-chased adjacency -> fixed-capacity int32 arrays + validity masks),
+runs the batched banded DP on device, and backtracks on the host over the
+fetched planes, reusing the oracle's backtrack verbatim so the M->D->I /
+indel_first tie-breaking (ref /root/reference/src/simd_abpoa_align.c:107-123)
+is shared code with the bit-exact engine.
+
+Scope: whole-graph alignment (beg=SRC, end=SINK). Subgraph (anchored window)
+calls currently dispatch to the host oracle; windows become batch instances
+in parallel/batch.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..params import (GLOBAL_MODE, LOCAL_MODE, EXTEND_MODE,
+                      LINEAR_GAP, AFFINE_GAP, CONVEX_GAP,
+                      SRC_NODE_ID, SINK_NODE_ID)
+from .engine_np import (AlignResult, _Ctx, _simd_params,
+                        INT16_MAX, INT16_MIN, INT32_MIN)
+
+
+def _bucket(x: int, lo: int) -> int:
+    return max(lo, 1 << (int(x) - 1).bit_length())
+
+
+def score_dispatch(params, gn: int, qlen: int):
+    """The reference's 16/32-bit score-width choice (ref :1667-1683); the
+    TPU engine computes in int32 either way but inherits pn + inf_min so the
+    band geometry (lane snapping) matches bit-exactly."""
+    gap_oe1 = params.gap_open1 + params.gap_ext1
+    gap_oe2 = params.gap_open2 + params.gap_ext2
+    ln = max(qlen, gn)
+    max_score = max(qlen * params.max_mat,
+                    ln * params.gap_ext1 + params.gap_open1)
+    if max_score <= INT16_MAX - params.min_mis - gap_oe1 - gap_oe2:
+        bits = 16
+        inf_min = (max(INT16_MIN + params.min_mis, INT16_MIN + gap_oe1,
+                       INT16_MIN + gap_oe2)
+                   + 31 * max(params.gap_ext1, params.gap_ext2))
+    else:
+        bits = 32
+        inf_min = (max(INT32_MIN + params.min_mis, INT32_MIN + gap_oe1,
+                       INT32_MIN + gap_oe2)
+                   + 31 * max(params.gap_ext1, params.gap_ext2))
+    pn, log_n = _simd_params(bits)
+    return pn, int(inf_min)
+
+
+@dataclasses.dataclass
+class DenseGraph:
+    """Host-side dense export of one POAGraph for the device DP."""
+    n_rows: int
+    qlen: int
+    pn: int
+    inf_min: int
+    bases: np.ndarray
+    pre_idx: np.ndarray
+    pre_n: np.ndarray
+    out_idx: np.ndarray
+    out_n: np.ndarray
+    remain: np.ndarray
+    mpl: np.ndarray
+    mpr: np.ndarray
+    qcol: np.ndarray
+    pre_index: list   # ragged, for host backtrack
+    R: int
+    W: int
+    P: int
+    O: int
+
+
+def export_dense(graph, params, query, min_R=64, min_W=256) -> DenseGraph:
+    """Flatten the DAG (in topo index order) into padded arrays."""
+    n = graph.node_n
+    qlen = len(query)
+    pn, inf_min = score_dispatch(params, n, qlen)
+    i2n = graph.index_to_node_id
+    n2i = graph.node_id_to_index
+    R = _bucket(n, min_R)
+    W_needed = ((qlen + pn) // pn) * pn
+    W = _bucket(W_needed, min_W)
+    banded = params.wb >= 0
+
+    bases = np.zeros(R, dtype=np.int32)
+    pre_lists = [[] for _ in range(n)]
+    out_lists = [[] for _ in range(n)]
+    for t in range(n):
+        nid = int(i2n[t])
+        bases[t] = graph.node[nid].base
+        for in_id in graph.node[nid].in_id:
+            pre_lists[t].append(int(n2i[in_id]))
+        for out_id in graph.node[nid].out_id:
+            out_lists[t].append(int(n2i[out_id]))
+    P = _bucket(max((len(x) for x in pre_lists), default=1), 2)
+    O = _bucket(max((len(x) for x in out_lists), default=1), 2)
+    pre_idx = np.zeros((R, P), dtype=np.int32)
+    pre_n = np.zeros(R, dtype=np.int32)
+    out_idx = np.zeros((R, O), dtype=np.int32)
+    out_n = np.zeros(R, dtype=np.int32)
+    for t in range(n):
+        k = len(pre_lists[t])
+        pre_idx[t, :k] = pre_lists[t]
+        pre_n[t] = k
+        k = len(out_lists[t])
+        out_idx[t, :k] = out_lists[t]
+        out_n[t] = k
+
+    remain = np.zeros(R, dtype=np.int32)
+    mpl = np.zeros(R, dtype=np.int32)
+    mpr = np.zeros(R, dtype=np.int32)
+    if graph.node_id_to_max_remain is not None:
+        remain[:n] = graph.node_id_to_max_remain[np.asarray(i2n[:n],
+                                                            dtype=np.int64)]
+    if banded:
+        mpl[:n] = graph.node_id_to_max_pos_left[np.asarray(i2n[:n],
+                                                           dtype=np.int64)]
+        mpr[:n] = graph.node_id_to_max_pos_right[np.asarray(i2n[:n],
+                                                            dtype=np.int64)]
+    qcol = np.zeros(W, dtype=np.int32)
+    qcol[1:qlen + 1] = np.asarray(query, dtype=np.int32)
+    return DenseGraph(n, qlen, pn, inf_min, bases, pre_idx, pre_n,
+                      out_idx, out_n, remain, mpl, mpr, qcol,
+                      pre_lists, R, W, P, O)
+
+
+def _make_inputs(dg: DenseGraph, params):
+    import jax.numpy as jnp
+    from ..ops.dp_xla import DPConfig, DPInputs
+    cfg = DPConfig(gap_mode=params.gap_mode, align_mode=params.align_mode,
+                   pn=dg.pn, R=dg.R, W=dg.W, P=dg.P, O=dg.O,
+                   banded=params.wb >= 0, use_zdrop=params.zdrop > 0)
+    w = dg.qlen if params.wb < 0 else params.wb + int(params.wf * dg.qlen)
+    remain_end = int(dg.remain[dg.n_rows - 1])
+    s = lambda v: jnp.int32(v)  # noqa: E731
+    inp = DPInputs(
+        bases=jnp.asarray(dg.bases), pre_idx=jnp.asarray(dg.pre_idx),
+        pre_n=jnp.asarray(dg.pre_n), out_idx=jnp.asarray(dg.out_idx),
+        out_n=jnp.asarray(dg.out_n), remain=jnp.asarray(dg.remain),
+        mpl=jnp.asarray(dg.mpl), mpr=jnp.asarray(dg.mpr),
+        qcol=jnp.asarray(dg.qcol),
+        mat=jnp.asarray(params.mat, dtype=jnp.int32),
+        qlen=s(dg.qlen), n_rows=s(dg.n_rows), w=s(w), inf_min=s(dg.inf_min),
+        remain_end=s(remain_end),
+        e1=s(params.gap_ext1), o1=s(params.gap_open1), oe1=s(params.gap_oe1),
+        e2=s(params.gap_ext2), o2=s(params.gap_open2), oe2=s(params.gap_oe2),
+        zdrop=s(params.zdrop), max_mat=s(params.max_mat))
+    return cfg, inp
+
+
+def _backtrack_from_planes(graph, params, query, dg: DenseGraph,
+                           H, E1, E2, F1, F2, dp_beg, dp_end,
+                           best_score, best_i, best_j) -> AlignResult:
+    """Host backtrack reusing the oracle's methods over device planes."""
+    from .. import cigar  # noqa: F401  (oracle methods import it as cg)
+    res = AlignResult()
+    res.best_score = int(best_score)
+    ctx = object.__new__(_Ctx)
+    ctx.g = graph
+    ctx.p = params
+    ctx.res = res
+    ctx.query = np.asarray(query, dtype=np.int64)
+    ctx.qlen = dg.qlen
+    ctx.beg_index = 0
+    ctx.mat = params.mat
+    ctx.it = np.int32
+    ctx.inf_min = np.int32(dg.inf_min)
+    ctx.e1 = np.int32(params.gap_ext1)
+    ctx.e2 = np.int32(params.gap_ext2)
+    ctx.o1 = np.int32(params.gap_open1)
+    ctx.o2 = np.int32(params.gap_open2)
+    ctx.oe1 = np.int32(params.gap_oe1)
+    ctx.oe2 = np.int32(params.gap_oe2)
+    ctx.pre_index = dg.pre_index
+    ctx.dp_beg = dp_beg
+    ctx.dp_end = dp_end
+    ctx.H, ctx.E1, ctx.E2, ctx.F1, ctx.F2 = H, E1, E2, F1, F2
+    ctx.best_score = int(best_score)
+    ctx.best_i = int(best_i)
+    ctx.best_j = int(best_j)
+    local = params.align_mode == LOCAL_MODE
+    if params.ret_cigar:
+        if params.gap_mode == LINEAR_GAP:
+            ctx._backtrack_lg(local)
+        elif params.gap_mode == AFFINE_GAP:
+            ctx._backtrack_ag(local)
+        else:
+            ctx._backtrack_cg(local)
+    return res
+
+
+def align_sequence_to_graph_jax(graph, params, query) -> AlignResult:
+    """Single-instance whole-graph alignment on the JAX engine."""
+    from ..ops.dp_xla import banded_poa_dp
+    dg = export_dense(graph, params, query)
+    cfg, inp = _make_inputs(dg, params)
+    out = banded_poa_dp(cfg, inp)
+    n = dg.n_rows
+    H = np.asarray(out.H)[:n]
+    E1 = np.asarray(out.E1)[:n]
+    E2 = np.asarray(out.E2)[:n]
+    F1 = np.asarray(out.F1)[:n]
+    F2 = np.asarray(out.F2)[:n]
+    dp_beg = np.asarray(out.dp_beg)[:n].astype(np.int64)
+    dp_end = np.asarray(out.dp_end)[:n].astype(np.int64)
+    if params.wb >= 0:
+        # persist adaptive-band state like the reference graph arrays
+        i2n = np.asarray(graph.index_to_node_id[:n], dtype=np.int64)
+        graph.node_id_to_max_pos_left[i2n] = np.asarray(out.mpl)[:n]
+        graph.node_id_to_max_pos_right[i2n] = np.asarray(out.mpr)[:n]
+    return _backtrack_from_planes(graph, params, query, dg, H, E1, E2, F1,
+                                  F2, dp_beg, dp_end,
+                                  int(out.best_score), int(out.best_i),
+                                  int(out.best_j))

@@ -59,9 +59,9 @@ LONG_OPTS = {
     "--increment": "i", "--incrmnt": "i", "--amb-strand": "s",
     "--output": "o", "--result": "r", "--out-pog": "g",
     "--max-num-cons": "d", "--maxnum-cons": "d", "--min-freq": "q",
-    "--help": "h", "--version": "v",
+    "--help": "h", "--version": "v", "--engine": "\x01",
 }
-TAKES_ARG = set("mMXtOEbfzekwnioqrgdqV")
+TAKES_ARG = set("mMXtOEbfzekwnioqrgdqV\x01")
 
 
 def main(argv=None) -> int:
@@ -182,6 +182,8 @@ def main(argv=None) -> int:
             params.min_freq = float(arg)
         elif c == "V":
             params.verbose = int(arg)
+        elif c == "\x01":  # --engine {numpy,jax}: DP engine selection
+            params.engine = arg
         elif c == "h":
             print(USAGE, file=sys.stderr)
             return 1
