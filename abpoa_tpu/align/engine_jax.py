@@ -74,16 +74,23 @@ class DenseGraph:
     O: int
 
 
-def export_dense(graph, params, query, min_R=64, min_W=256) -> DenseGraph:
-    """Flatten the DAG (in topo index order) into padded arrays."""
+def export_dense(graph, params, query, min_R=64, min_W=256,
+                 force_R=None, force_W=None, force_P=None,
+                 force_O=None) -> DenseGraph:
+    """Flatten the DAG (in topo index order) into padded arrays.
+
+    force_* pin the padded capacities so a batch of instances shares one
+    static kernel shape (parallel/batch.py re-pads a round's group to its
+    common maximum).
+    """
     n = graph.node_n
     qlen = len(query)
     pn, inf_min = score_dispatch(params, n, qlen)
     i2n = graph.index_to_node_id
     n2i = graph.node_id_to_index
-    R = _bucket(n, min_R)
+    R = force_R if force_R else _bucket(n, min_R)
     W_needed = ((qlen + pn) // pn) * pn
-    W = _bucket(W_needed, min_W)
+    W = force_W if force_W else _bucket(W_needed, min_W)
     banded = params.wb >= 0
 
     bases = np.zeros(R, dtype=np.int32)
@@ -96,8 +103,10 @@ def export_dense(graph, params, query, min_R=64, min_W=256) -> DenseGraph:
             pre_lists[t].append(int(n2i[in_id]))
         for out_id in graph.node[nid].out_id:
             out_lists[t].append(int(n2i[out_id]))
-    P = _bucket(max((len(x) for x in pre_lists), default=1), 2)
-    O = _bucket(max((len(x) for x in out_lists), default=1), 2)
+    P = force_P if force_P else _bucket(max((len(x) for x in pre_lists),
+                                            default=1), 2)
+    O = force_O if force_O else _bucket(max((len(x) for x in out_lists),
+                                            default=1), 2)
     pre_idx = np.zeros((R, P), dtype=np.int32)
     pre_n = np.zeros(R, dtype=np.int32)
     out_idx = np.zeros((R, O), dtype=np.int32)

@@ -52,7 +52,9 @@ import numpy as np
 from ..params import (GLOBAL_MODE, LOCAL_MODE, EXTEND_MODE,
                       LINEAR_GAP, AFFINE_GAP, CONVEX_GAP)
 
-NEG = jnp.int32(-(1 << 29))  # sentinel below any clamped score
+# sentinel below any clamped score; plain int so importing this module never
+# touches a backend (the multichip dry run re-pins the platform post-import)
+NEG = -(1 << 29)
 
 
 class DPConfig(NamedTuple):
@@ -337,9 +339,15 @@ def banded_poa_dp(cfg: DPConfig, inp: DPInputs) -> DPOutputs:
     inf = inp.inf_min
     dp_sn = inp.qlen // pn + 1
 
-    # query profile row lookup: qp[base][j] = mat[base, query[j-1]]
-    # (ref abpoa_init_var :502-515); cols 0 and > qlen score 0
+    # query profile qp[k][j] = mat[k, query[j-1]] (ref abpoa_init_var
+    # :502-515), built once as a one-hot matmul (gathers serialize on TPU);
+    # cols 0 and > qlen score 0
     qvalid = (iota >= 1) & (iota <= inp.qlen)
+    m = inp.mat.shape[0]
+    onehot = (inp.qcol[None, :] == jnp.arange(m, dtype=jnp.int32)[:, None])
+    qp = jnp.where(qvalid[None, :],
+                   jnp.dot(inp.mat, onehot.astype(jnp.int32),
+                           preferred_element_type=jnp.int32), 0)  # [m, W]
 
     zeros_plane = jnp.zeros((cfg.R, cfg.W), dtype=jnp.int32)
     planes = (zeros_plane, zeros_plane, zeros_plane, zeros_plane, zeros_plane)
@@ -360,7 +368,7 @@ def banded_poa_dp(cfg: DPConfig, inp: DPInputs) -> DPOutputs:
         t = jnp.int32(t)
         active = (t <= inp.n_rows - 2) & ~stopped
         base = inp.bases[t]
-        qrow = jnp.where(qvalid, jnp.take(inp.mat[base], inp.qcol), 0)
+        qrow = jax.lax.dynamic_index_in_dim(qp, base, 0, keepdims=False)
 
         # --- band + snapping (ref :1305-1318) ---
         if cfg.banded:

@@ -1,0 +1,162 @@
+"""Round-based batched POA across many independent instances.
+
+One POA instance (align reads 1..n of one window onto its growing DAG) is
+far too small to fill a TPU chip, and the graph-fusion step between reads is
+inherently sequential per instance (ref abpoa_poa, src/abpoa_align.c:302-344,
+re-toposorts after every read). The TPU-native throughput design therefore
+batches ACROSS instances, round-synchronously:
+
+    round r:  [device]  banded DP of read r of every live instance (vmap)
+              [host]    backtrack + graph fusion + re-toposort per instance
+
+Instances whose graphs/queries land in the same padded bucket
+(R, W, P, O — powers of two) share one compiled program; a round issues one
+device call per bucket group. Graph bookkeeping stays on the host: it is
+O(V+E) with tiny constants vs the O(V·W) DP (SURVEY.md §7 design delta #5).
+
+Optionally shards the batch axis over a jax.sharding.Mesh (pure data
+parallelism — instances are independent, so no collectives are needed in the
+DP itself; results gather on fetch).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..api import ABPOA
+from ..params import Params, SRC_NODE_ID, SINK_NODE_ID
+from ..align.engine_jax import (export_dense, _make_inputs,
+                                _backtrack_from_planes, _bucket)
+
+
+def _stack_inputs(dgs, params):
+    """Stack per-instance DPInputs leaves along a new batch axis."""
+    import jax.numpy as jnp
+    from ..ops.dp_xla import DPInputs
+    cfgs, inps = zip(*(_make_inputs(dg, params) for dg in dgs))
+    cfg = cfgs[0]
+    assert all(c == cfg for c in cfgs)
+    batched = DPInputs(*(jnp.stack([getattr(i, f) for i in inps])
+                         for f in DPInputs._fields))
+    return cfg, batched
+
+
+class BatchPOA:
+    """Run many independent POA problems through the batched device DP.
+
+    instances: list of problems; each problem is a list of encoded reads
+    (uint8 codes). Returns the list of ABPOA aligner states (call
+    generate_consensus / output on them like the single-instance API).
+    """
+
+    def __init__(self, params: Params, mesh=None, batch_axis: str = "data"):
+        self.params = params
+        self.mesh = mesh
+        self.batch_axis = batch_axis
+        self.dp_cells = 0          # aggregate band cells computed on device
+        self.dp_seconds = 0.0      # device wall time of DP calls
+        self.rounds = 0
+
+    # -------------------------------------------------------------- #
+    def _device_call(self, cfg, batched):
+        import time
+        import jax
+        from ..ops.dp_xla import banded_poa_dp_batch
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(self.batch_axis))
+            batched = jax.device_put(batched,
+                                     jax.tree.map(lambda _: sh, batched))
+        t0 = time.perf_counter()
+        out = banded_poa_dp_batch(cfg, batched)
+        out = jax.block_until_ready(out)
+        self.dp_seconds += time.perf_counter() - t0
+        self.dp_cells += int(np.sum(np.asarray(out.n_cells)))
+        return out
+
+    def run(self, instances) -> list[ABPOA]:
+        params = self.params
+        abs_ = [ABPOA() for _ in instances]
+        for ab, reads in zip(abs_, instances):
+            ab.n_seq = len(reads)
+            ab.names = [""] * len(reads)
+            ab.is_rc = [0] * len(reads)
+        n_rounds = max((len(r) for r in instances), default=0)
+        for r in range(n_rounds):
+            live = [k for k, reads in enumerate(instances) if r < len(reads)]
+            # first read / empty graph: straight fusion, no DP
+            todo = []
+            for k in live:
+                ab, q = abs_[k], instances[k][r]
+                if ab.graph.node_n <= 2:
+                    ab.graph.add_graph_alignment(params, q, [1] * len(q),
+                                                 [], None, r, True)
+                else:
+                    if not ab.graph.is_topological_sorted:
+                        ab.graph.topological_sort(params)
+                    todo.append(k)
+            if not todo:
+                continue
+            # two-pass export: natural buckets, then re-pad to group max
+            nat = {k: export_dense(abs_[k].graph, params, instances[k][r])
+                   for k in todo}
+            R = max(d.R for d in nat.values())
+            W = max(d.W for d in nat.values())
+            P_ = max(d.P for d in nat.values())
+            O_ = max(d.O for d in nat.values())
+            pns = {d.pn for d in nat.values()}
+            for pn in pns:
+                group = [k for k in todo if nat[k].pn == pn]
+                dgs = [export_dense(abs_[k].graph, params, instances[k][r],
+                                    force_R=R, force_W=W, force_P=P_,
+                                    force_O=O_) for k in group]
+                cfg, batched = _stack_inputs(dgs, params)
+                out = self._device_call(cfg, batched)
+                self._finish_round(abs_, group, dgs, out, r, instances)
+            self.rounds += 1
+        return abs_
+
+    def _finish_round(self, abs_, group, dgs, out, r, instances):
+        params = self.params
+        H = np.asarray(out.H)
+        E1 = np.asarray(out.E1)
+        E2 = np.asarray(out.E2)
+        F1 = np.asarray(out.F1)
+        F2 = np.asarray(out.F2)
+        dp_beg = np.asarray(out.dp_beg).astype(np.int64)
+        dp_end = np.asarray(out.dp_end).astype(np.int64)
+        bs = np.asarray(out.best_score)
+        bi = np.asarray(out.best_i)
+        bj = np.asarray(out.best_j)
+        mpl = np.asarray(out.mpl)
+        mpr = np.asarray(out.mpr)
+        for b, k in enumerate(group):
+            ab = abs_[k]
+            dg = dgs[b]
+            q = instances[k][r]
+            n = dg.n_rows
+            g = ab.graph
+            if params.wb >= 0:
+                i2n = np.asarray(g.index_to_node_id[:n], dtype=np.int64)
+                g.node_id_to_max_pos_left[i2n] = mpl[b, :n]
+                g.node_id_to_max_pos_right[i2n] = mpr[b, :n]
+            res = _backtrack_from_planes(
+                g, params, q, dg, H[b, :n], E1[b, :n], E2[b, :n],
+                F1[b, :n], F2[b, :n], dp_beg[b, :n], dp_end[b, :n],
+                int(bs[b]), int(bi[b]), int(bj[b]))
+            g.add_graph_alignment(params, q, [1] * len(q), res.cigar,
+                                  None, r, True)
+
+    def run_consensus(self, instances):
+        """Full pipeline: batched POA then consensus per instance; returns
+        list of consensus strings (heaviest bundling, max_n_cons=1)."""
+        from ..consensus import generate_consensus
+        from ..alphabet import decode_table
+        abs_ = self.run(instances)
+        tab = decode_table(self.params.m)
+        outs = []
+        for ab in abs_:
+            generate_consensus(ab, self.params)
+            c = ab.cons
+            outs.append([bytes(tab[b] for b in seq).decode()
+                         for seq in c.cons_base[:c.n_cons]])
+        return outs
