@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate POA DP throughput (band cells/s) on the TPU chip
+vs the reference abPOA binary on the host CPU.
+
+Prints ONE JSON line:
+  {"metric": "dp_cells_per_s", "value": N, "unit": "cells/s",
+   "vs_baseline": N / reference_cells_per_s, ...extras}
+
+Band cells are identical between the engines (bit-identical band geometry,
+see tests/test_engine_jax.py), so cells/s is a fair apples-to-apples rate.
+The reference rate is measured live when .refbuild/bin_stock/abpoa exists
+(tests/golden/make_sanitized_ref.sh builds it), else taken from the recorded
+measurement in BENCH_BASELINE.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+N_INSTANCES = int(os.environ.get("ABPOA_BENCH_INSTANCES", "16"))
+FIXTURE = os.environ.get("ABPOA_BENCH_FIXTURE", "seq.fa")
+BASELINE_FILE = REPO / "BENCH_BASELINE.json"
+REF_BIN = REPO / ".refbuild" / "bin_stock" / "abpoa"
+
+
+def _load_reads(fn):
+    from abpoa_tpu.seqio import read_seqs
+    from abpoa_tpu.alphabet import encode_table
+    tab = encode_table(5)
+    recs = read_seqs(str(REPO / "tests" / "data" / fn))
+    return [tab[np.frombuffer(r.seq.encode(), dtype=np.uint8)]
+            for r in recs]
+
+
+def _reference_cells_per_s(fixture: str, cells_per_instance: int) -> float:
+    """Measure the reference binary's aggregate cells/s on this host."""
+    if REF_BIN.exists():
+        n = max(N_INSTANCES, 32)
+        lst = "\n".join([str(REPO / "tests" / "data" / fixture)] * n) + "\n"
+        lp = pathlib.Path("/tmp/abpoa_bench.list")
+        lp.write_text(lst)
+        t0 = time.perf_counter()
+        subprocess.run([str(REF_BIN), "-l", str(lp)],
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=True)
+        dt = time.perf_counter() - t0
+        rate = n * cells_per_instance / dt
+        data = {}
+        if BASELINE_FILE.exists():
+            data = json.loads(BASELINE_FILE.read_text())
+        data[fixture] = {"cells_per_s": rate, "n": n, "wall_s": dt}
+        BASELINE_FILE.write_text(json.dumps(data, indent=1))
+        return rate
+    if BASELINE_FILE.exists():
+        data = json.loads(BASELINE_FILE.read_text())
+        if fixture in data:
+            return float(data[fixture]["cells_per_s"])
+    return float("nan")
+
+
+def main():
+    from abpoa_tpu.params import Params
+    from abpoa_tpu.parallel import BatchPOA
+    import jax
+
+    reads = _load_reads(FIXTURE)
+    instances = [reads] * N_INSTANCES
+    params = Params().post_set()
+
+    # warmup: compile every round's bucket
+    BatchPOA(Params().post_set()).run_consensus([reads])
+
+    bp = BatchPOA(params)
+    t0 = time.perf_counter()
+    cons = bp.run_consensus(instances)
+    e2e = time.perf_counter() - t0
+    assert all(c == cons[0] for c in cons)
+
+    cells_per_instance = bp.dp_cells // N_INSTANCES
+    value = bp.dp_cells / bp.dp_seconds
+    ref_rate = _reference_cells_per_s(FIXTURE, cells_per_instance)
+    out = {
+        "metric": "dp_cells_per_s",
+        "value": round(value, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(value / ref_rate, 4) if ref_rate == ref_rate
+        else None,
+        "extras": {
+            "fixture": FIXTURE,
+            "instances": N_INSTANCES,
+            "dp_cells": bp.dp_cells,
+            "dp_seconds": round(bp.dp_seconds, 4),
+            "e2e_seconds": round(e2e, 4),
+            "windows_per_s": round(N_INSTANCES / e2e, 4),
+            "ref_cells_per_s": round(ref_rate, 1) if ref_rate == ref_rate
+            else None,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
