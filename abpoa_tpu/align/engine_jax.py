@@ -202,6 +202,158 @@ def _backtrack_from_planes(graph, params, query, dg: DenseGraph,
     return res
 
 
+def _round_up(x: int, m: int) -> int:
+    return (int(x) + m - 1) // m * m
+
+
+def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None):
+    """Build the flattened/banded input arrays for ops.dp_pallas."""
+    from ..ops import dp_pallas as dpp
+    qlen = dg.qlen
+    Wq = force_Wq if force_Wq else _round_up(qlen + 1, 128)
+    w = qlen if params.wb < 0 else params.wb + int(params.wf * qlen)
+    scal = np.zeros(dpp.S_NSCAL, dtype=np.int32)
+    scal[dpp.S_QLEN] = qlen
+    scal[dpp.S_NROWS] = dg.n_rows
+    scal[dpp.S_W] = w
+    scal[dpp.S_INF] = dg.inf_min
+    scal[dpp.S_REMEND] = dg.remain[dg.n_rows - 1]
+    scal[dpp.S_E1] = params.gap_ext1
+    scal[dpp.S_O1] = params.gap_open1
+    scal[dpp.S_OE1] = params.gap_oe1
+    scal[dpp.S_E2] = params.gap_ext2
+    scal[dpp.S_O2] = params.gap_open2
+    scal[dpp.S_OE2] = params.gap_oe2
+    scal[dpp.S_ZDROP] = params.zdrop
+    scal[dpp.S_DPSN] = qlen // dg.pn + 1
+    qp = np.zeros((params.m, Wq), dtype=np.int32)
+    qcol = dg.qcol[1:qlen + 1].astype(np.int64)
+    qp[:, 1:qlen + 1] = np.asarray(params.mat)[:, qcol]
+    cfg = dpp.PallasDPConfig(
+        gap_mode=params.gap_mode, align_mode=params.align_mode,
+        pn=dg.pn, R=dg.R, WB=WB, Wq=Wq, P=dg.P, O=dg.O, m=params.m,
+        use_zdrop=params.zdrop > 0)
+    return cfg, (scal, dg.bases, dg.pre_idx.reshape(-1), dg.pre_n,
+                 dg.out_idx.reshape(-1), dg.out_n, dg.remain, qp,
+                 dg.mpl, dg.mpr)
+
+
+def pick_WB(params, qlen: int, pn: int) -> int:
+    """Static band-tile width (any multiple of pn): the adaptive band grows
+    well beyond 2w when max_pos hints spread across graph branches (observed
+    up to ~8 pn-segments on the 700 bp fixtures), so size generously and let
+    the overflow flag route outliers to the XLA fallback."""
+    w = params.wb + int(params.wf * qlen)
+    need = min(4 * w + 8 * pn, qlen + 1 + 2 * pn)
+    need = max(need, 4 * pn)
+    return max(128, (need + 127) // 128 * 128)
+
+
+def align_sequence_to_graph_pallas(graph, params, query,
+                                   interpret=False) -> AlignResult:
+    """Single-instance whole-graph alignment via the Pallas band kernel.
+    Falls back to the XLA engine on band overflow / unsupported modes."""
+    from ..ops import dp_pallas as dpp
+    import jax.numpy as jnp
+    if params.wb < 0 or params.align_mode not in (GLOBAL_MODE, EXTEND_MODE):
+        return align_sequence_to_graph_jax(graph, params, query)
+    dg = export_dense(graph, params, query)
+    WB = pick_WB(params, dg.qlen, dg.pn)
+    cfg, arrs = make_pallas_inputs(dg, params, WB)
+    batched = tuple(jnp.asarray(a)[None] for a in arrs)
+    out = dpp.pallas_poa_dp_batch(cfg, *batched, interpret=interpret)
+    misc = np.asarray(out.misc)[0]
+    if misc[dpp.M_OVFL]:
+        return align_sequence_to_graph_jax(graph, params, query)
+    n = dg.n_rows
+    planes = unpack_banded_planes(
+        params, dg, np.asarray(out.Hb)[0], np.asarray(out.E1b)[0],
+        np.asarray(out.E2b)[0], np.asarray(out.F1b)[0],
+        np.asarray(out.F2b)[0], np.asarray(out.beg_sn)[0],
+        np.asarray(out.end_sn)[0])
+    H, E1, E2, F1, F2, dp_beg, dp_end = planes
+    if params.wb >= 0:
+        i2n = np.asarray(graph.index_to_node_id[:n], dtype=np.int64)
+        graph.node_id_to_max_pos_left[i2n] = np.asarray(out.mpl)[0][:n]
+        graph.node_id_to_max_pos_right[i2n] = np.asarray(out.mpr)[0][:n]
+    return _backtrack_from_planes(graph, params, query, dg, H, E1, E2, F1,
+                                  F2, dp_beg, dp_end,
+                                  int(misc[dpp.M_BEST]),
+                                  int(misc[dpp.M_BI]), int(misc[dpp.M_BJ]))
+
+
+def align_sequence_to_graph_device(graph, params, query) -> AlignResult:
+    """Full device path: Pallas banded DP + device backtrack; only the
+    packed step stream (O(path) int32) crosses the host link. Falls back
+    to the XLA engine on overflow/unsupported modes, and to the host
+    backtrack if the device backtrack reports a dead end."""
+    from ..ops import dp_pallas as dpp
+    from ..ops import bt_xla
+    import jax.numpy as jnp
+    if params.wb < 0 or params.align_mode not in (GLOBAL_MODE, EXTEND_MODE):
+        return align_sequence_to_graph_jax(graph, params, query)
+    dg = export_dense(graph, params, query)
+    WB = pick_WB(params, dg.qlen, dg.pn)
+    cfg, arrs = make_pallas_inputs(dg, params, WB)
+    batched = tuple(jnp.asarray(a)[None] for a in arrs)
+    out = dpp.pallas_poa_dp_batch(cfg, *batched)
+    misc = np.asarray(out.misc)[0]
+    if misc[dpp.M_OVFL]:
+        return align_sequence_to_graph_jax(graph, params, query)
+    n = dg.n_rows
+    if params.wb >= 0:
+        i2n = np.asarray(graph.index_to_node_id[:n], dtype=np.int64)
+        graph.node_id_to_max_pos_left[i2n] = np.asarray(out.mpl)[0][:n]
+        graph.node_id_to_max_pos_right[i2n] = np.asarray(out.mpr)[0][:n]
+    res = AlignResult()
+    res.best_score = int(misc[dpp.M_BEST])
+    if not params.ret_cigar:
+        return res
+    btc = bt_xla.BTConfig(gap_mode=params.gap_mode, pn=dg.pn, R=dg.R,
+                          WB=WB, P=dg.P, LMAX=dg.R + cfg.Wq)
+    qcodes = np.zeros(cfg.Wq, dtype=np.int32)
+    qcodes[:dg.qlen] = np.asarray(query, dtype=np.int32)
+    b = lambda x: jnp.asarray(x)[None]  # noqa: E731
+    steps, n_steps, fail, end_i, end_j = bt_xla.backtrack_batch(
+        btc, out.Hb, out.E1b, out.E2b, out.F1b, out.F2b,
+        out.beg_sn, out.end_sn, b(dg.pre_idx), b(dg.pre_n), b(dg.bases),
+        b(qcodes), b(np.asarray(params.mat, dtype=np.int32)),
+        jnp.asarray(misc[dpp.M_BI])[None], jnp.asarray(misc[dpp.M_BJ])[None],
+        b(np.int32(dg.qlen)), b(np.int32(params.gap_ext1)),
+        b(np.int32(params.gap_oe1)), b(np.int32(params.gap_ext2)),
+        b(np.int32(params.gap_oe2)))
+    if bool(np.asarray(fail)[0]):
+        return align_sequence_to_graph_jax(graph, params, query)
+    return bt_xla.replay_steps(graph, params, np.asarray(query),
+                               np.asarray(steps)[0],
+                               int(np.asarray(n_steps)[0]),
+                               int(misc[dpp.M_BI]), int(misc[dpp.M_BJ]),
+                               int(np.asarray(end_i)[0]),
+                               int(np.asarray(end_j)[0]), res)
+
+
+def unpack_banded_planes(params, dg, Hb, E1b, E2b, F1b, F2b, beg_sn,
+                         end_sn):
+    """Scatter banded tiles back to full-width rows (zero residue), for the
+    host backtrack / parity tests."""
+    n = dg.n_rows
+    pn = dg.pn
+    WB = Hb.shape[1]
+    W = dg.W
+    dp_beg = (beg_sn[:n].astype(np.int64)) * pn
+    dp_end = (end_sn[:n].astype(np.int64) + 1) * pn - 1
+    planes = []
+    for Pb in (Hb, E1b, E2b, F1b, F2b):
+        full = np.zeros((n, W), dtype=np.int32)
+        for t in range(n):
+            off = int(dp_beg[t])
+            wid = min(int(dp_end[t]) - off + 1 + pn, WB, W - off)
+            full[t, off:off + wid] = Pb[t, :wid]
+        planes.append(full)
+    H, E1, E2, F1, F2 = planes
+    return H, E1, E2, F1, F2, dp_beg, dp_end
+
+
 def align_sequence_to_graph_jax(graph, params, query) -> AlignResult:
     """Single-instance whole-graph alignment on the JAX engine."""
     from ..ops.dp_xla import banded_poa_dp

@@ -1,0 +1,275 @@
+"""Device-side backtrack over banded DP planes (pure lax, vmapped).
+
+Replicates the reference's in-matrix backtrack exactly — operator priority
+M -> D(E) -> I(F) with the indel_first first-step preference and the cur_op
+live-operator bitmask (ref /root/reference/src/simd_abpoa_align.c:109-429,
+oracle twin: align/engine_np.py _backtrack_{lg,ag,cg}) — but emits a packed
+step stream on device so only O(path) int32s cross the host link instead of
+the O(R*W) score planes (the TPU tunnel moves ~tens of MB/s; planes stay
+resident in HBM between the DP kernel and this pass).
+
+Each step is one packed int32:  op(2 bits) | dp_row(12) | query_col(18).
+The host replays the stream through cigar.push_cigar (same merging rules),
+wraps it with the head/tail insertions of _bt_common_start/_bt_finish, and
+computes n_aln/n_matched.
+
+Out-of-tile plane reads return 0, matching the zero-residue planes of the
+XLA/oracle engines (fresh-arena semantics validated against the goldens).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import LINEAR_GAP, AFFINE_GAP, CONVEX_GAP
+
+M_OP, E1_OP, E2_OP = 0x1, 0x2, 0x4
+F1_OP, F2_OP = 0x8, 0x10
+E_OP, F_OP, ALL_OP = 0x6, 0x18, 0x1F
+
+
+class BTConfig(NamedTuple):
+    gap_mode: int
+    pn: int
+    R: int
+    WB: int
+    P: int
+    LMAX: int
+
+
+def _mk_cell(cfg, plane, beg_sn):
+    pn, WB = cfg.pn, cfg.WB
+
+    def cell(i, j):
+        off = beg_sn[i] * pn
+        lc = j - off
+        ok = (lc >= 0) & (lc < WB)
+        v = plane[i, jnp.clip(lc, 0, WB - 1)]
+        return jnp.where(ok, v, 0)
+    return cell
+
+
+def _first_true(conds):
+    """Index of the first true cond (static list), -1 if none."""
+    idx = jnp.int32(-1)
+    for k in reversed(range(len(conds))):
+        idx = jnp.where(conds[k], jnp.int32(k), idx)
+    return idx
+
+
+def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
+                  pre_idx, pre_n, bases, qcodes, mat, best_i, best_j,
+                  qlen, e1, oe1, e2, oe2):
+    """One instance. Returns (steps[LMAX] packed i32, n_steps, fail,
+    end_i, end_j): the stream in push order (reverse alignment order)."""
+    pn = cfg.pn
+    gm = cfg.gap_mode
+    cH = _mk_cell(cfg, Hb, beg_sn)
+    cE1 = _mk_cell(cfg, E1b, beg_sn)
+    cE2 = _mk_cell(cfg, E2b, beg_sn)
+    cF1 = _mk_cell(cfg, F1b, beg_sn)
+    cF2 = _mk_cell(cfg, F2b, beg_sn)
+
+    def in_band(pre, col):
+        return ((beg_sn[pre] * pn <= col)
+                & (col <= (end_sn[pre] + 1) * pn - 1))
+
+    def score(i, j):
+        # mat[base_i, q[j-1]]
+        return mat[bases[i], qcodes[j - 1]]
+
+    def push(st, op, i, j):
+        steps, n = st
+        enc = op | (i << 2) | (j << 14)
+        return steps.at[n].set(enc), n + 1
+
+    def body(state):
+        i, j, cur_op, indel_first, steps, n, fail, done = state
+        hij = cH(i, j)
+        s = score(i, j)
+
+        # --- candidate: M step to pred p (needs H[pre][j-1]+s == H[i][j])
+        m_hits = []
+        for p in range(cfg.P):
+            pre = pre_idx[i, p]
+            ok = (p < pre_n[i]) & in_band(pre, j - 1)
+            m_hits.append(ok & (cH(pre, j - 1) + s == hij))
+        m_pick = _first_true(m_hits)
+        m_possible = m_pick >= 0
+
+        # --- candidate: E (deletion) steps, pred-major, E1 then E2
+        e_conds = []
+        e_newop = []
+        e_pred = []
+        for p in range(cfg.P):
+            pre = pre_idx[i, p]
+            okp = (p < pre_n[i]) & in_band(pre, j)
+            if gm != LINEAR_GAP:
+                e1pre = cE1(pre, j)
+                hpre = cH(pre, j)
+                hit_m = (cur_op & M_OP > 0) & (hij == e1pre)
+                hit_x = (cur_op & M_OP == 0) & (cE1(i, j) == e1pre - e1)
+                hit1 = okp & (cur_op & E1_OP > 0) & (hit_m | hit_x)
+                op1 = jnp.where(hpre - oe1 == e1pre,
+                                jnp.int32(M_OP | F_OP), jnp.int32(E1_OP))
+                e_conds.append(hit1)
+                e_newop.append(op1)
+                e_pred.append(pre)
+                if gm == CONVEX_GAP:
+                    e2pre = cE2(pre, j)
+                    hit_m2 = (cur_op & M_OP > 0) & (hij == e2pre)
+                    hit_x2 = (cur_op & M_OP == 0) & (cE2(i, j)
+                                                     == e2pre - e2)
+                    hit2 = okp & (cur_op & E2_OP > 0) & (hit_m2 | hit_x2)
+                    op2 = jnp.where(hpre - oe2 == e2pre,
+                                    jnp.int32(M_OP | F_OP),
+                                    jnp.int32(E2_OP))
+                    e_conds.append(hit2)
+                    e_newop.append(op2)
+                    e_pred.append(pre)
+            else:
+                hit = okp & (cH(pre, j) - e1 == hij)
+                e_conds.append(hit)
+                e_newop.append(jnp.int32(ALL_OP))
+                e_pred.append(pre)
+        e_pick = _first_true(e_conds)
+        e_possible = e_pick >= 0
+        e_pred_sel = jnp.int32(0)
+        e_op_sel = jnp.int32(ALL_OP)
+        for k in range(len(e_conds)):
+            sel = e_pick == k
+            e_pred_sel = jnp.where(sel, e_pred[k], e_pred_sel)
+            e_op_sel = jnp.where(sel, e_newop[k], e_op_sel)
+
+        # --- candidate: F (insertion) step
+        if gm == LINEAR_GAP:
+            f_possible = cH(i, j - 1) - e1 == hij
+            f_op_sel = jnp.int32(ALL_OP)
+        else:
+            f1ij = cF1(i, j)
+            h_prev = cH(i, j - 1)
+            f1_open = h_prev - oe1 == f1ij
+            f1_ext = cF1(i, j - 1) - e1 == f1ij
+            f1_gate = jnp.where(cur_op & M_OP > 0, hij == f1ij, True)
+            hit_f1 = (cur_op & F1_OP > 0) & f1_gate & (f1_open | f1_ext)
+            op_f1 = jnp.where(f1_open, jnp.int32(M_OP | E_OP),
+                              jnp.int32(F1_OP))
+            if gm == CONVEX_GAP:
+                f2ij = cF2(i, j)
+                f2_open = h_prev - oe2 == f2ij
+                f2_ext = cF2(i, j - 1) - e2 == f2ij
+                f2_gate = jnp.where(cur_op & M_OP > 0, hij == f2ij, True)
+                hit_f2 = (cur_op & F2_OP > 0) & f2_gate \
+                    & (f2_open | f2_ext)
+                op_f2 = jnp.where(f2_open, jnp.int32(M_OP | E_OP),
+                                  jnp.int32(F2_OP))
+            else:
+                hit_f2 = jnp.bool_(False)
+                op_f2 = jnp.int32(ALL_OP)
+            f_possible = hit_f1 | hit_f2
+            f_op_sel = jnp.where(hit_f1, op_f1, op_f2)
+
+        # --- priority resolution (ref :109-429 order) ---
+        use_m1 = (cur_op & M_OP > 0) & jnp.logical_not(indel_first) \
+            & m_possible
+        use_e = jnp.logical_not(use_m1) & (cur_op & E_OP > 0) & e_possible
+        if gm == LINEAR_GAP:
+            use_e = jnp.logical_not(use_m1) & e_possible
+        use_f = (jnp.logical_not(use_m1) & jnp.logical_not(use_e)
+                 & f_possible)
+        if gm != LINEAR_GAP:
+            use_f = use_f & (cur_op & F_OP > 0)
+        use_m2 = (jnp.logical_not(use_m1) & jnp.logical_not(use_e)
+                  & jnp.logical_not(use_f) & (cur_op & M_OP > 0)
+                  & indel_first & m_possible)
+        if gm == LINEAR_GAP:
+            use_m2 = (jnp.logical_not(use_m1) & jnp.logical_not(use_e)
+                      & jnp.logical_not(use_f) & indel_first & m_possible)
+        any_hit = use_m1 | use_e | use_f | use_m2
+        fail = fail | jnp.logical_not(any_hit)
+
+        use_m = use_m1 | use_m2
+        m_pred = jnp.int32(0)
+        for p in range(cfg.P):
+            m_pred = jnp.where(m_pick == p, pre_idx[i, p], m_pred)
+
+        op_code = jnp.where(use_m, 0, jnp.where(use_e, 2, 1))  # M/D/I
+        steps, n = push((steps, n), op_code, i, j)
+        n = jnp.where(any_hit, n, n - 1)  # drop push on fail
+
+        new_i = jnp.where(use_m, m_pred, jnp.where(use_e, e_pred_sel, i))
+        new_j = jnp.where(use_m | use_f, j - 1, j)
+        new_cur = jnp.where(use_m, jnp.int32(ALL_OP),
+                            jnp.where(use_e, e_op_sel,
+                                      jnp.where(use_f, f_op_sel, cur_op)))
+        new_if = jnp.where(use_m, jnp.bool_(False), indel_first)
+        done = fail | (new_i <= 0) | (new_j <= 0)
+        return (new_i, new_j, new_cur, new_if, steps, n, fail, done)
+
+    def cond(state):
+        i, j, cur_op, indel_first, steps, n, fail, done = state
+        return jnp.logical_not(done) & (n < cfg.LMAX)
+
+    steps0 = jnp.zeros(cfg.LMAX, jnp.int32)
+    init = (best_i, best_j, jnp.int32(ALL_OP), jnp.bool_(True), steps0,
+            jnp.int32(0), jnp.bool_(False),
+            (best_i <= 0) | (best_j <= 0))
+    i, j, cur_op, indel_first, steps, n, fail, done = jax.lax.while_loop(
+        cond, body, init)
+    return steps, n, fail, i, j
+
+
+@partial(jax.jit, static_argnums=0)
+def backtrack_batch(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
+                    pre_idx, pre_n, bases, qcodes, mat, best_i, best_j,
+                    qlen, e1, oe1, e2, oe2):
+    fn = lambda *a: backtrack_one(cfg, *a)  # noqa: E731
+    return jax.vmap(fn)(Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn, pre_idx,
+                        pre_n, bases, qcodes, mat, best_i, best_j, qlen,
+                        e1, oe1, e2, oe2)
+
+
+def replay_steps(graph, params, query, steps, n_steps, best_i, best_j,
+                 end_i, end_j, res):
+    """Host replay: packed device steps -> reference cigar list + res
+    fields (oracle _bt_common_start / _bt_finish semantics)."""
+    from .. import cigar as cg
+    qlen = len(query)
+    i2n = graph.index_to_node_id
+    cigar: list = []
+    if best_j < qlen:
+        cg.push_cigar(cigar, cg.CINS, qlen - best_j, -1, qlen - 1)
+    n = int(n_steps)
+    enc = np.asarray(steps[:n])
+    ops = enc & 0x3
+    rows = (enc >> 2) & 0xFFF
+    cols = enc >> 14
+    start_i, start_j = int(best_i), int(best_j)
+    for k in range(n):
+        op, i, j = int(ops[k]), int(rows[k]), int(cols[k])
+        start_i, start_j = i, j
+        nid = int(i2n[i])
+        if op == 0:      # match/mismatch column
+            cg.push_cigar(cigar, cg.CMATCH, 1, nid, j - 1)
+            res.n_aln_bases += 1
+            if graph.node[nid].base == query[j - 1]:
+                res.n_matched_bases += 1
+        elif op == 2:    # deletion (E step)
+            cg.push_cigar(cigar, cg.CDEL, 1, nid, j - 1)
+        else:            # insertion (F step)
+            cg.push_cigar(cigar, cg.CINS, 1, nid, j - 1)
+            res.n_aln_bases += 1
+    if int(end_j) > 0:
+        cg.push_cigar(cigar, cg.CINS, int(end_j), -1, int(end_j) - 1)
+    if not params.rev_cigar:
+        cigar.reverse()
+    res.cigar = cigar
+    res.node_e = int(i2n[int(best_i)])
+    res.query_e = int(best_j) - 1
+    res.node_s = int(i2n[start_i])
+    res.query_s = start_j - 1
+    return res

@@ -1,0 +1,512 @@
+"""Pallas TPU kernel: banded POA DP sweep with VMEM-resident band tiles.
+
+This is the speed-of-light path for the hot loop (SURVEY.md §2 "SIMD DP
+engine", ref /root/reference/src/simd_abpoa_align.c:434-1412). Differences
+from the XLA engine (ops/dp_xla.py), which remains the semantics twin and
+fallback:
+
+  * DP planes are stored BANDED: [R, WB] tiles with a per-row column offset
+    dp_beg = beg_sn*pn, instead of full-width [R, W] rows. WB is a small
+    static tile (multiple of pn, >= widest band + one pn guard segment).
+    This removes the O(R·W) per-row carry traffic that made the XLA
+    while-loop bandwidth-bound and shrinks memory from O(R·qlen) to
+    O(R·WB) per instance.
+  * The whole row sweep runs inside ONE kernel launch per batch (grid over
+    instances) with planes in VMEM — no per-row HBM round trips.
+  * Identical numerical semantics to dp_xla/engine_np on every cell the DP
+    or backtrack reads: same snapping, same merge fill/overwrite regions
+    (tile cells beyond the band are inf_min, which reproduces the
+    reference's end_sn+1 guard-segment infinity fill), same closed-form F
+    recurrence with the reference's first-lane seed, same row-max
+    tie-breaks and adaptive-band propagation.
+
+Supported: global/extend x linear/affine/convex, banded (wb >= 0). Local
+mode and unbanded runs use dp_xla (their band is the full query width).
+If a row's band outgrows WB the kernel raises an overflow flag in misc and
+the host wrapper re-runs that instance on the fallback engine.
+
+Layout notes: per-instance control arrays (bases, predecessor/successor
+ids, remain) live in SMEM so per-row scalar indexing is native; mutable
+per-row state (beg_sn/end_sn, adaptive-band mpl/mpr) lives in VMEM vectors
+updated with masked writes and read back with where-sum reductions.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import (GLOBAL_MODE, EXTEND_MODE,
+                      LINEAR_GAP, AFFINE_GAP, CONVEX_GAP)
+
+NEG = -(1 << 29)
+
+# scalar vector layout (per instance)
+(S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1, S_OE1, S_E2, S_O2,
+ S_OE2, S_ZDROP, S_DPSN, S_NSCAL) = range(14)
+
+# misc output layout
+(M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NMISC) = range(6)
+
+
+class PallasDPConfig(NamedTuple):
+    gap_mode: int
+    align_mode: int
+    pn: int
+    R: int       # padded rows
+    WB: int      # band tile width (multiple of pn)
+    Wq: int      # padded query-profile width (qlen+1 rounded up to 128)
+    P: int
+    O: int
+    m: int
+    use_zdrop: bool
+
+
+def _log2(x: int) -> int:
+    return int(x - 1).bit_length()
+
+
+def make_dp_kernel(cfg: PallasDPConfig):
+    pn, WB, R = cfg.pn, cfg.WB, cfg.R
+    SB = WB // pn
+    gm = cfg.gap_mode
+    extend = cfg.align_mode == EXTEND_MODE
+
+    def iota_w():
+        return jax.lax.broadcasted_iota(jnp.int32, (1, WB), 1)
+
+    def iota_r():
+        return jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+
+    def vget(ref, idx):
+        """Scalar read of SMEM vector ref (1, 1, R) at dynamic idx."""
+        return ref[0, 0, idx]
+
+    def vset(ref, idx, val):
+        ref[0, 0, idx] = val
+
+    def f_scan(src, e, oe, seed, inf):
+        """F[j]=max(src[j-1]-oe, F[j-1]-e) in local tile coords, lane 0
+        seeded with seed-oe (ref :1381). Kogge-Stone prefix max."""
+        l = iota_w()
+        g = jnp.maximum(src, inf) + l * e
+        for k in range(_log2(WB)):
+            d = 1 << k
+            sh = pltpu.roll(g, d, 1)
+            g = jnp.maximum(g, jnp.where(l >= d, sh, NEG))
+        gsh = jnp.where(l >= 1, pltpu.roll(g, 1, 1), NEG)
+        F = gsh - oe - (l - 1) * e
+        F = jnp.where(l == 0, seed - oe, F)
+        return jnp.maximum(F, inf)
+
+    def h_scan_lg(h, e, inf):
+        """H[j]=max_{k<=j}(h[k]-(j-k)e) inclusive (ref :762-778)."""
+        l = iota_w()
+        g = jnp.maximum(h, inf) + l * e
+        for k in range(_log2(WB)):
+            d = 1 << k
+            sh = pltpu.roll(g, d, 1)
+            g = jnp.maximum(g, jnp.where(l >= d, sh, NEG))
+        return jnp.maximum(g - l * e, inf)
+
+    def row_max(hrow, n_seg, t_off, qlen, inf):
+        """Row max/argmax with reference blend tie-breaks (ref :1043-1057):
+        per lane the last band segment wins ties, then the earliest; across
+        lanes the lowest lane. Implemented as a log-step fold over segments
+        on the flat (1, WB) layout (lane<->sublane reshapes don't lower);
+        the combine is a lexicographic max over (value, -prio), which is
+        associative, so the fold equals the oracle's sequential blend."""
+        l = iota_w()
+        lseg = l // pn
+        qi = t_off + l
+        v = jnp.where((lseg < n_seg) & (qi <= qlen), hrow, inf)
+        prio = jnp.where(lseg == n_seg - 1, -1, lseg)
+        wseg = lseg
+        for k in range(_log2(SB)):
+            d = pn << k
+            ok = l < (WB - d)
+            vb = pltpu.roll(v, WB - d, 1)
+            pb = pltpu.roll(prio, WB - d, 1)
+            sb_ = pltpu.roll(wseg, WB - d, 1)
+            take = ((vb > v) | ((vb == v) & (pb < prio))) & ok
+            v = jnp.where(take, vb, v)
+            prio = jnp.where(take, pb, prio)
+            wseg = jnp.where(take, sb_, wseg)
+        lane0 = l < pn
+        gmax = jnp.max(jnp.where(lane0, v, NEG))
+        lane_pick = jnp.min(jnp.where(lane0 & (v == gmax), l, 1 << 30))
+        wseg_pick = jnp.sum(jnp.where(l == lane_pick, wseg, 0))
+        max_i = jnp.where(gmax > inf,
+                          t_off + wseg_pick * pn + lane_pick,
+                          jnp.int32(-1))
+        return gmax, max_i
+
+    def kernel(scal, bases, pre_idx, pre_n, out_idx, out_n, remain, qp,
+               mpl0, mpr0,
+               Hb, E1b, E2b, F1b, F2b, begsn_o, endsn_o, mpl_o, mpr_o,
+               misc_o, pad, qpad):
+        inf = scal[0, 0, S_INF]
+        qlen = scal[0, 0, S_QLEN]
+        n_rows = scal[0, 0, S_NROWS]
+        w = scal[0, 0, S_W]
+        rem_end = scal[0, 0, S_REMEND]
+        e1 = scal[0, 0, S_E1]
+        o1 = scal[0, 0, S_O1]
+        oe1 = scal[0, 0, S_OE1]
+        e2 = scal[0, 0, S_E2]
+        o2 = scal[0, 0, S_O2]
+        oe2 = scal[0, 0, S_OE2]
+        zdrop = scal[0, 0, S_ZDROP]
+        dp_sn = scal[0, 0, S_DPSN]
+        l = iota_w()
+        iR = iota_r()
+
+        def copy_state(t, _):
+            mpl_o[0, 0, t] = mpl0[0, 0, t]
+            mpr_o[0, 0, t] = mpr0[0, 0, t]
+            begsn_o[0, 0, t] = 0
+            endsn_o[0, 0, t] = 0
+            return 0
+        jax.lax.fori_loop(0, R, copy_state, 0)
+        # pad shift-buffer edge fills are invariant (always inf)
+        pad[0:1, 0:WB] = jnp.full((1, WB), NEG, jnp.int32)
+        pad[0:1, 2 * WB:3 * WB] = jnp.full((1, WB), NEG, jnp.int32)
+
+        def ad_bounds(t):
+            rem = remain[0, 0, t] - rem_end - 1
+            beg = jnp.maximum(0, jnp.minimum(vget(mpl_o, t),
+                                             qlen - rem) - w)
+            end = jnp.minimum(qlen, jnp.maximum(vget(mpr_o, t),
+                                                qlen - rem) + w)
+            return beg, end
+
+        # ---------------- first row (ref :553-662) ----------------
+        # seed band state: mpl/mpr[src]=0, successors of src = 1
+        for o in range(cfg.O):
+            @pl.when(o < out_n[0, 0, 0])
+            def _():
+                tgt = out_idx[0, 0, o]
+                mpl_o[0, 0, tgt] = 1
+                mpr_o[0, 0, tgt] = 1
+        vset(mpl_o, 0, 0)
+        vset(mpr_o, 0, 0)
+        _, end0 = ad_bounds(0)
+        end_sn0 = end0 // pn
+        vset(endsn_o, 0, end_sn0)
+        de0 = (end_sn0 + 1) * pn - 1
+        in_de = l <= de0
+        if gm == LINEAR_GAP:
+            Hb[0, 0:1, :] = jnp.where(in_de, -e1 * l, inf)
+        elif gm == AFFINE_GAP:
+            f1v = -o1 - e1 * l
+            h0 = jnp.where(in_de & (l >= 1), f1v, inf)
+            Hb[0, 0:1, :] = jnp.where(l == 0, 0, h0)
+            E1b[0, 0:1, :] = jnp.where(l == 0, -oe1, inf)
+            F1b[0, 0:1, :] = jnp.where(in_de & (l >= 1), f1v, inf)
+        else:
+            f1v = -o1 - e1 * l
+            f2v = -o2 - e2 * l
+            h0 = jnp.where(in_de & (l >= 1), jnp.maximum(f1v, f2v), inf)
+            Hb[0, 0:1, :] = jnp.where(l == 0, 0, h0)
+            E1b[0, 0:1, :] = jnp.where(l == 0, -oe1, inf)
+            E2b[0, 0:1, :] = jnp.where(l == 0, -oe2, inf)
+            F1b[0, 0:1, :] = jnp.where(in_de & (l >= 1), f1v, inf)
+            F2b[0, 0:1, :] = jnp.where(in_de & (l >= 1), f2v, inf)
+        ovfl0 = jnp.where(end_sn0 + 2 > SB, 1, 0)
+
+        # ---------------- row sweep ----------------
+        def read_shifted(src_ref, pred, s, fill):
+            """src_ref row `pred` shifted so local lane j = pred-tile lane
+            j+s; out-of-range lanes = fill. Any s; clamped starts only
+            yield lanes the merge masks exclude. Unaligned dynamic lane
+            slices are a non-negative dynamic pltpu.roll of the full pad
+            (negative dynamic shifts miscompile at register granularity)."""
+            pad[0:1, 0:WB] = jnp.full((1, WB), fill, jnp.int32)
+            pad[0:1, 2 * WB:3 * WB] = jnp.full((1, WB), fill, jnp.int32)
+            pad[0:1, WB:2 * WB] = src_ref[0, pl.ds(pred, 1), :]
+            # (edge fills kept: 'fill' is inf_min, whose value the merge
+            # fill/boundary semantics depend on)
+            start = jnp.clip(WB + s, 0, 2 * WB)
+            Lp = (3 * WB + 255) // 256 * 256   # dynamic roll needs 256-align
+            rolled = pltpu.roll(pad[0:1, :], (Lp - start) % Lp, 1)
+            return rolled[:, :WB]
+
+        def body(t, carry):
+            bs, bi, bj, brem, stopped, n_cells, ovfl = carry
+            active = (t <= n_rows - 2) & jnp.logical_not(stopped)
+
+            def do_row(carry):
+                bs, bi, bj, brem, stopped, n_cells, ovfl = carry
+                beg, end = ad_bounds(t)
+                beg_sn = beg // pn
+                pre_begs = []
+                pre_ends = []
+                preds = []
+                pvs = []
+                min_pre_beg_sn = jnp.int32(1 << 30)
+                max_pre_end_sn = jnp.int32(-1)
+                npre = pre_n[0, 0, t]
+                for p in range(cfg.P):
+                    pv = p < npre
+                    pred = pre_idx[0, 0, t * cfg.P + p]
+                    pb = vget(begsn_o, pred)
+                    pe = vget(endsn_o, pred)
+                    preds.append(pred)
+                    pvs.append(pv)
+                    pre_begs.append(pb)
+                    pre_ends.append(pe)
+                    min_pre_beg_sn = jnp.minimum(
+                        min_pre_beg_sn, jnp.where(pv, pb, 1 << 30))
+                    max_pre_end_sn = jnp.maximum(
+                        max_pre_end_sn, jnp.where(pv, pe, -1))
+                beg_sn = jnp.maximum(beg_sn, min_pre_beg_sn)
+                end_sn = end // pn
+                ovfl = jnp.where(end_sn - beg_sn + 2 > SB, 1, ovfl)
+                end_sn = jnp.minimum(end_sn, beg_sn + SB - 2)
+                n_seg = end_sn - beg_sn + 1
+                vset(begsn_o, t, beg_sn)
+                vset(endsn_o, t, end_sn)
+                t_off = beg_sn * pn
+                lseg = l // pn
+                aseg = beg_sn + lseg
+                cap = jnp.minimum(end_sn + 1, dp_sn - 1)
+
+                # query profile row for this node's base
+                base = bases[0, 0, t]
+                qpad[0:1, 0:cfg.Wq] = qp[0, pl.ds(base, 1), :]
+                qpad[0:1, cfg.Wq:cfg.Wq + WB] = jnp.zeros((1, WB),
+                                                          jnp.int32)
+                Lq = (cfg.Wq + WB + 255) // 256 * 256
+                qrow = pltpu.roll(qpad[0:1, :], (Lq - t_off) % Lq, 1)[:, :WB]
+                qcols = t_off + l
+                qrow = jnp.where((qcols >= 1) & (qcols <= qlen), qrow, 0)
+
+                # ---- M/E merges over predecessors (ref :1332-1350) ----
+                h = jnp.zeros((1, WB), jnp.int32)
+                e1v = h
+                e2v = h
+                for p in range(cfg.P):
+                    pv = pvs[p]
+                    pred = preds[p]
+                    pre_beg_sn = pre_begs[p]
+                    pre_end_sn = pre_ends[p]
+                    s = t_off - pre_beg_sn * pn
+                    _beg_sn = jnp.maximum(beg_sn, pre_beg_sn)
+                    _end_sn = jnp.minimum(jnp.minimum(pre_end_sn + 1,
+                                                      end_sn), dp_sn - 1)
+                    cand = read_shifted(Hb, pred, s - 1, inf)
+                    lo_local = _beg_sn * pn - t_off
+                    boundary = jnp.where(
+                        pre_beg_sn < beg_sn,
+                        jnp.sum(jnp.where(l == lo_local, cand, 0)), inf)
+                    cand = jnp.where(l == lo_local, boundary, cand)
+                    if gm == LINEAR_GAP:
+                        preH = read_shifted(Hb, pred, s, inf)
+                        cand = jnp.maximum(cand + qrow, preH - e1)
+                    mmask = (aseg >= _beg_sn) & (aseg <= _end_sn) & pv
+                    if p == 0:
+                        fill = (((aseg >= beg_sn) & (aseg < _beg_sn))
+                                | ((aseg > _end_sn) & (aseg <= cap)))
+                        h = jnp.where(fill, inf, h)
+                        h = jnp.where(mmask, cand, h)
+                    else:
+                        h = jnp.where(mmask, jnp.maximum(h, cand), h)
+                    if gm != LINEAR_GAP:
+                        _end_e = jnp.minimum(pre_end_sn, end_sn)
+                        emask = (aseg >= _beg_sn) & (aseg <= _end_e) & pv
+                        pe1 = read_shifted(E1b, pred, s, inf)
+                        pe2 = (read_shifted(E2b, pred, s, inf)
+                               if gm == CONVEX_GAP else None)
+                        if p == 0:
+                            efill = (((aseg >= beg_sn) & (aseg < _beg_sn))
+                                     | ((aseg > _end_e) & (aseg <= end_sn)))
+                            e1v = jnp.where(efill, inf, e1v)
+                            e1v = jnp.where(emask, pe1, e1v)
+                            if gm == CONVEX_GAP:
+                                e2v = jnp.where(efill, inf, e2v)
+                                e2v = jnp.where(emask, pe2, e2v)
+                        else:
+                            e1v = jnp.where(emask, jnp.maximum(e1v, pe1),
+                                            e1v)
+                            if gm == CONVEX_GAP:
+                                e2v = jnp.where(emask,
+                                                jnp.maximum(e2v, pe2), e2v)
+
+                in_band = lseg < n_seg
+
+                # ---- F phase + fold (closed form; ref :664-699) ----
+                if gm == LINEAR_GAP:
+                    hfin = h_scan_lg(jnp.where(in_band, h, NEG), e1, inf)
+                    hrow = jnp.where(in_band, hfin, inf)
+                    Hb[0, pl.ds(t, 1), :] = hrow
+                elif gm == AFFINE_GAP:
+                    h0 = h + jnp.where(in_band, qrow, 0)
+                    seed = jnp.sum(jnp.where(l == 0, h0, 0))
+                    f1 = f_scan(jnp.where(in_band, h0, NEG), e1, oe1,
+                                seed, inf)
+                    h1 = jnp.maximum(h0, e1v)
+                    hh = jnp.maximum(h1, f1)
+                    e1n = jnp.maximum(e1v - e1, hh - oe1)
+                    e1fin = jnp.where(hh == h1, e1n, inf)
+                    hrow = jnp.where(in_band, hh, inf)
+                    Hb[0, pl.ds(t, 1), :] = hrow
+                    E1b[0, pl.ds(t, 1), :] = jnp.where(in_band, e1fin, inf)
+                    F1b[0, pl.ds(t, 1), :] = jnp.where(in_band, f1, inf)
+                else:
+                    h0 = h + jnp.where(in_band, qrow, 0)
+                    seed = jnp.sum(jnp.where(l == 0, h0, 0))
+                    hpf = jnp.maximum(jnp.maximum(h0, e1v), e2v)
+                    hpf = jnp.where(in_band, hpf, NEG)
+                    f1 = f_scan(hpf, e1, oe1, seed, inf)
+                    f2 = f_scan(hpf, e2, oe2, seed, inf)
+                    hh = jnp.maximum(jnp.maximum(hpf, f1), f2)
+                    e1n = jnp.maximum(e1v - e1, hh - oe1)
+                    e2n = jnp.maximum(e2v - e2, hh - oe2)
+                    hrow = jnp.where(in_band, hh, inf)
+                    Hb[0, pl.ds(t, 1), :] = hrow
+                    E1b[0, pl.ds(t, 1), :] = jnp.where(in_band, e1n, inf)
+                    E2b[0, pl.ds(t, 1), :] = jnp.where(in_band, e2n, inf)
+                    F1b[0, pl.ds(t, 1), :] = jnp.where(in_band, f1, inf)
+                    F2b[0, pl.ds(t, 1), :] = jnp.where(in_band, f2, inf)
+
+                # ---- best tracking + adaptive band (ref :1018-1067) ----
+                mx, mi = row_max(hrow, n_seg, t_off, qlen, inf)
+                stop_now = jnp.bool_(False)
+                if extend:
+                    better = mx > bs
+                    if cfg.use_zdrop:
+                        delta = brem - remain[0, 0, t]
+                        zlim = zdrop + e1 * jnp.abs(delta - (mi - bj))
+                        stop_now = jnp.logical_not(better) & (bs - mx > zlim)
+                    bs = jnp.where(better, mx, bs)
+                    bi = jnp.where(better, t, bi)
+                    bj = jnp.where(better, mi, bj)
+                    brem = jnp.where(better, remain[0, 0, t], brem)
+
+                @pl.when(jnp.logical_not(stop_now))
+                def _():
+                    out_i = mi + 1
+                    non = out_n[0, 0, t]
+                    for o in range(cfg.O):
+                        @pl.when(o < non)
+                        def _():
+                            tgt = out_idx[0, 0, t * cfg.O + o]
+                            mpr_o[0, 0, tgt] = jnp.maximum(
+                                mpr_o[0, 0, tgt], out_i)
+                            mpl_o[0, 0, tgt] = jnp.minimum(
+                                mpl_o[0, 0, tgt], out_i)
+                return (bs, bi, bj, brem, stopped | stop_now,
+                        n_cells + n_seg * pn, ovfl)
+
+            return jax.lax.cond(active, do_row, lambda c: c, carry)
+
+        init = (inf, jnp.int32(0), jnp.int32(0), remain[0, 0, 0],
+                jnp.bool_(False), jnp.int32(0), ovfl0)
+        bs, bi, bj, brem, stopped, n_cells, ovfl = jax.lax.fori_loop(
+            1, R - 1, body, init)
+
+        if cfg.align_mode == GLOBAL_MODE:
+            sink = n_rows - 1
+            for p in range(cfg.P):
+                pv = p < pre_n[0, 0, sink]
+                pred = pre_idx[0, 0, sink * cfg.P + p]
+                pe = vget(endsn_o, pred)
+                pb = vget(begsn_o, pred)
+                endc = jnp.minimum(qlen, (pe + 1) * pn - 1)
+                lc = endc - pb * pn
+                row = Hb[0, pl.ds(pred, 1), :]
+                v = jnp.sum(jnp.where(l == lc, row, 0))
+                better = pv & (v > bs)
+                bs = jnp.where(better, v, bs)
+                bi = jnp.where(better, pred, bi)
+                bj = jnp.where(better, endc, bj)
+
+        misc_o[0, 0, M_BEST] = bs
+        misc_o[0, 0, M_BI] = bi
+        misc_o[0, 0, M_BJ] = bj
+        misc_o[0, 0, M_CELLS] = n_cells
+        misc_o[0, 0, M_OVFL] = ovfl
+
+    return kernel
+
+
+class PallasDPOut(NamedTuple):
+    Hb: jax.Array      # [B, R, WB] banded tiles
+    E1b: jax.Array
+    E2b: jax.Array
+    F1b: jax.Array
+    F2b: jax.Array
+    beg_sn: jax.Array  # [B, R]
+    end_sn: jax.Array
+    mpl: jax.Array
+    mpr: jax.Array
+    misc: jax.Array    # [B, M_NMISC]
+
+
+@partial(jax.jit, static_argnums=(0, 11))
+def pallas_poa_dp_batch(cfg: PallasDPConfig, scal, bases, pre_idx, pre_n,
+                        out_idx, out_n, remain, qp, mpl0, mpr0,
+                        interpret=False):
+    """Batched banded DP. All array args carry a leading batch axis B.
+    pre_idx: [B, R*P] flattened; out_idx: [B, R*O] flattened."""
+    B = bases.shape[0]
+    R, WB = cfg.R, cfg.WB
+    kern = make_dp_kernel(cfg)
+    i32 = jnp.int32
+
+    # Mosaic block rule: last two block dims must divide (8, 128) or equal
+    # the array dims — per-instance vectors therefore travel as [B, 1, X]
+    # with block (1, 1, X).
+    def v3(x):
+        return x.reshape(B, 1, -1)
+
+    def vmem(*shape):
+        return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+                            memory_space=pltpu.VMEM)
+
+    def smem(*shape):
+        return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+                            memory_space=pltpu.SMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, R, WB), i32),   # Hb
+        jax.ShapeDtypeStruct((B, R, WB), i32),   # E1b
+        jax.ShapeDtypeStruct((B, R, WB), i32),   # E2b
+        jax.ShapeDtypeStruct((B, R, WB), i32),   # F1b
+        jax.ShapeDtypeStruct((B, R, WB), i32),   # F2b
+        jax.ShapeDtypeStruct((B, 1, R), i32),    # beg_sn
+        jax.ShapeDtypeStruct((B, 1, R), i32),    # end_sn
+        jax.ShapeDtypeStruct((B, 1, R), i32),    # mpl
+        jax.ShapeDtypeStruct((B, 1, R), i32),    # mpr
+        jax.ShapeDtypeStruct((B, 1, M_NMISC), i32),
+    )
+    out_specs = (vmem(R, WB), vmem(R, WB), vmem(R, WB), vmem(R, WB),
+                 vmem(R, WB), smem(1, R), smem(1, R), smem(1, R),
+                 smem(1, R), smem(1, M_NMISC))
+    in_specs = [smem(1, S_NSCAL), smem(1, R), smem(1, R * cfg.P),
+                smem(1, R), smem(1, R * cfg.O), smem(1, R), smem(1, R),
+                vmem(cfg.m, cfg.Wq), smem(1, R), smem(1, R)]
+    outs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((1, (3 * WB + 255) // 256 * 256), i32),      # pad
+            pltpu.VMEM((1, (cfg.Wq + WB + 255) // 256 * 256), i32),  # qpad
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(v3(scal), v3(bases), v3(pre_idx), v3(pre_n), v3(out_idx), v3(out_n),
+      v3(remain), qp, v3(mpl0), v3(mpr0))
+    (Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn, mpl, mpr, misc) = outs
+    return PallasDPOut(Hb, E1b, E2b, F1b, F2b,
+                       beg_sn.reshape(B, R), end_sn.reshape(B, R),
+                       mpl.reshape(B, R), mpr.reshape(B, R),
+                       misc.reshape(B, M_NMISC))

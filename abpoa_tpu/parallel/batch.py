@@ -48,12 +48,16 @@ class BatchPOA:
     generate_consensus / output on them like the single-instance API).
     """
 
-    def __init__(self, params: Params, mesh=None, batch_axis: str = "data"):
+    def __init__(self, params: Params, mesh=None, batch_axis: str = "data",
+                 engine: str = "pallas"):
         self.params = params
         self.mesh = mesh
         self.batch_axis = batch_axis
+        self.engine = engine       # "pallas" (device DP+backtrack) or "xla"
         self.dp_cells = 0          # aggregate band cells computed on device
         self.dp_seconds = 0.0      # device wall time of DP calls
+        self.bt_seconds = 0.0      # device wall time of backtrack calls
+        self.fallbacks = 0         # instances re-run on the host oracle
         self.rounds = 0
 
     # -------------------------------------------------------------- #
@@ -109,11 +113,103 @@ class BatchPOA:
                 dgs = [export_dense(abs_[k].graph, params, instances[k][r],
                                     force_R=R, force_W=W, force_P=P_,
                                     force_O=O_) for k in group]
-                cfg, batched = _stack_inputs(dgs, params)
-                out = self._device_call(cfg, batched)
-                self._finish_round(abs_, group, dgs, out, r, instances)
+                if self._effective_engine() == "pallas":
+                    self._round_pallas(abs_, group, dgs, r, instances)
+                else:
+                    cfg, batched = _stack_inputs(dgs, params)
+                    out = self._device_call(cfg, batched)
+                    self._finish_round(abs_, group, dgs, out, r, instances)
             self.rounds += 1
         return abs_
+
+    def _effective_engine(self) -> str:
+        """Pallas needs a real TPU backend, banding, and global/extend."""
+        import jax
+        from ..params import GLOBAL_MODE, EXTEND_MODE
+        if self.engine == "xla":
+            return "xla"
+        if (self.params.wb < 0
+                or self.params.align_mode not in (GLOBAL_MODE, EXTEND_MODE)
+                or self.mesh is not None
+                or jax.default_backend() not in ("tpu", "axon")):
+            return "xla"
+        return "pallas"
+
+    # -------------------------------------------------------------- #
+    def _round_pallas(self, abs_, group, dgs, r, instances):
+        """One round on the device-resident path: Pallas banded DP +
+        device backtrack; only packed cigar steps cross the host link."""
+        import time
+        import jax
+        import jax.numpy as jnp
+        from ..align.engine_jax import make_pallas_inputs, pick_WB
+        from ..align.engine_np import align_sequence_to_subgraph
+        from ..ops import dp_pallas as dpp
+        from ..ops import bt_xla
+        params = self.params
+        WB = max(pick_WB(params, dg.qlen, dg.pn) for dg in dgs)
+        Wq = max((dg.qlen // 128 + 1) * 128 for dg in dgs)
+        cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=Wq)
+                           for dg in dgs))
+        cfg = cfgs[0]
+        assert all(c == cfg for c in cfgs)
+        stacked = tuple(jnp.asarray(np.stack([a[i] for a in arrs]))
+                        for i in range(len(arrs[0])))
+        t0 = time.perf_counter()
+        out = dpp.pallas_poa_dp_batch(cfg, *stacked)
+        misc = np.asarray(out.misc)      # sync point
+        self.dp_seconds += time.perf_counter() - t0
+        self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
+
+        btc = bt_xla.BTConfig(gap_mode=params.gap_mode, pn=cfg.pn,
+                              R=cfg.R, WB=WB, P=cfg.P,
+                              LMAX=cfg.R + cfg.Wq)
+        qcodes = np.zeros((len(group), cfg.Wq), dtype=np.int32)
+        for b, k in enumerate(group):
+            q = instances[k][r]
+            qcodes[b, :len(q)] = q
+        mat = np.broadcast_to(np.asarray(params.mat, dtype=np.int32),
+                              (len(group), params.m, params.m))
+        s = lambda v: np.full(len(group), v, np.int32)  # noqa: E731
+        t0 = time.perf_counter()
+        steps, n_steps, fail, end_i, end_j = bt_xla.backtrack_batch(
+            btc, out.Hb, out.E1b, out.E2b, out.F1b, out.F2b,
+            out.beg_sn, out.end_sn,
+            jnp.asarray(np.stack([dg.pre_idx for dg in dgs])),
+            jnp.asarray(np.stack([dg.pre_n for dg in dgs])),
+            jnp.asarray(np.stack([dg.bases for dg in dgs])),
+            jnp.asarray(qcodes), jnp.asarray(mat),
+            jnp.asarray(misc[:, dpp.M_BI]), jnp.asarray(misc[:, dpp.M_BJ]),
+            jnp.asarray(s(0)), jnp.asarray(s(params.gap_ext1)),
+            jnp.asarray(s(params.gap_oe1)), jnp.asarray(s(params.gap_ext2)),
+            jnp.asarray(s(params.gap_oe2)))
+        steps = np.asarray(steps)
+        n_steps = np.asarray(n_steps)
+        fail = np.asarray(fail)
+        end_i = np.asarray(end_i)
+        end_j = np.asarray(end_j)
+        self.bt_seconds += time.perf_counter() - t0
+
+        from ..align.engine_np import AlignResult
+        from ..params import SRC_NODE_ID, SINK_NODE_ID
+        for b, k in enumerate(group):
+            ab = abs_[k]
+            q = instances[k][r]
+            if misc[b, dpp.M_OVFL] or fail[b]:
+                self.fallbacks += 1
+                res = align_sequence_to_subgraph(
+                    ab.graph, params, SRC_NODE_ID, SINK_NODE_ID, q,
+                    arena=ab.arena)
+            else:
+                res = AlignResult()
+                res.best_score = int(misc[b, dpp.M_BEST])
+                bt_xla.replay_steps(ab.graph, params, np.asarray(q),
+                                    steps[b], int(n_steps[b]),
+                                    int(misc[b, dpp.M_BI]),
+                                    int(misc[b, dpp.M_BJ]),
+                                    int(end_i[b]), int(end_j[b]), res)
+            ab.graph.add_graph_alignment(params, q, [1] * len(q),
+                                         res.cigar, None, r, True)
 
     def _finish_round(self, abs_, group, dgs, out, r, instances):
         params = self.params
