@@ -67,7 +67,7 @@ class DenseGraph:
     mpl: np.ndarray
     mpr: np.ndarray
     qcol: np.ndarray
-    pre_index: list   # ragged, for host backtrack
+    pre_index: list | None   # ragged, for host backtrack (lazy)
     R: int
     W: int
     P: int
@@ -93,31 +93,40 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     W = force_W if force_W else _bucket(W_needed, min_W)
     banded = params.wb >= 0
 
+    node = graph.node
+    ids = np.asarray(i2n[:n], dtype=np.int64)
     bases = np.zeros(R, dtype=np.int32)
-    pre_lists = [[] for _ in range(n)]
-    out_lists = [[] for _ in range(n)]
-    for t in range(n):
-        nid = int(i2n[t])
-        bases[t] = graph.node[nid].base
-        for in_id in graph.node[nid].in_id:
-            pre_lists[t].append(int(n2i[in_id]))
-        for out_id in graph.node[nid].out_id:
-            out_lists[t].append(int(n2i[out_id]))
-    P = force_P if force_P else _bucket(max((len(x) for x in pre_lists),
-                                            default=1), 2)
-    O = force_O if force_O else _bucket(max((len(x) for x in out_lists),
-                                            default=1), 2)
+    bases[:n] = np.fromiter((node[int(nid)].base for nid in ids),
+                            dtype=np.int32, count=n)
+    in_lists = [node[int(nid)].in_id for nid in ids]
+    out_lists_ = [node[int(nid)].out_id for nid in ids]
+    pre_cnt = np.fromiter(map(len, in_lists), dtype=np.int32, count=n)
+    out_cnt = np.fromiter(map(len, out_lists_), dtype=np.int32, count=n)
+    P = force_P if force_P else _bucket(max(int(pre_cnt.max(initial=1)), 1),
+                                        2)
+    O = force_O if force_O else _bucket(max(int(out_cnt.max(initial=1)), 1),
+                                        2)
+    # flatten adjacency once, map node ids -> dp indices vectorized
+    flat_in = np.fromiter((x for lst in in_lists for x in lst),
+                          dtype=np.int64, count=int(pre_cnt.sum()))
+    flat_out = np.fromiter((x for lst in out_lists_ for x in lst),
+                           dtype=np.int64, count=int(out_cnt.sum()))
+    n2i_np = np.asarray(n2i, dtype=np.int64)
     pre_idx = np.zeros((R, P), dtype=np.int32)
     pre_n = np.zeros(R, dtype=np.int32)
     out_idx = np.zeros((R, O), dtype=np.int32)
     out_n = np.zeros(R, dtype=np.int32)
-    for t in range(n):
-        k = len(pre_lists[t])
-        pre_idx[t, :k] = pre_lists[t]
-        pre_n[t] = k
-        k = len(out_lists[t])
-        out_idx[t, :k] = out_lists[t]
-        out_n[t] = k
+    pre_n[:n] = pre_cnt
+    out_n[:n] = out_cnt
+    rows_in = np.repeat(np.arange(n), pre_cnt)
+    offs_in = np.cumsum(pre_cnt) - pre_cnt
+    cols_in = np.arange(len(flat_in)) - np.repeat(offs_in, pre_cnt)
+    pre_idx[rows_in, cols_in] = n2i_np[flat_in]
+    rows_out = np.repeat(np.arange(n), out_cnt)
+    offs_out = np.cumsum(out_cnt) - out_cnt
+    cols_out = np.arange(len(flat_out)) - np.repeat(offs_out, out_cnt)
+    out_idx[rows_out, cols_out] = n2i_np[flat_out]
+    pre_lists = None  # built lazily for the host backtrack only
 
     remain = np.zeros(R, dtype=np.int32)
     mpl = np.zeros(R, dtype=np.int32)
@@ -135,6 +144,31 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     return DenseGraph(n, qlen, pn, inf_min, bases, pre_idx, pre_n,
                       out_idx, out_n, remain, mpl, mpr, qcol,
                       pre_lists, R, W, P, O)
+
+
+def repad_dense(dg: DenseGraph, R: int, W: int, P: int, O: int) -> DenseGraph:
+    """Re-pad an exported DenseGraph to a batch group's common capacities
+    without re-walking the graph."""
+    if (R, W, P, O) == (dg.R, dg.W, dg.P, dg.O):
+        return dg
+    n = dg.n_rows
+
+    def padv(a, size):
+        out = np.zeros(size, dtype=a.dtype)
+        out[:len(a)] = a
+        return out
+
+    def padm(a, rows, cols):
+        out = np.zeros((rows, cols), dtype=a.dtype)
+        out[:a.shape[0], :a.shape[1]] = a
+        return out
+
+    return DenseGraph(n, dg.qlen, dg.pn, dg.inf_min,
+                      padv(dg.bases, R), padm(dg.pre_idx, R, P),
+                      padv(dg.pre_n, R), padm(dg.out_idx, R, O),
+                      padv(dg.out_n, R), padv(dg.remain, R),
+                      padv(dg.mpl, R), padv(dg.mpr, R),
+                      padv(dg.qcol, W), dg.pre_index, R, W, P, O)
 
 
 def _make_inputs(dg: DenseGraph, params):
@@ -184,6 +218,9 @@ def _backtrack_from_planes(graph, params, query, dg: DenseGraph,
     ctx.o2 = np.int32(params.gap_open2)
     ctx.oe1 = np.int32(params.gap_oe1)
     ctx.oe2 = np.int32(params.gap_oe2)
+    if dg.pre_index is None:
+        dg.pre_index = [dg.pre_idx[t, :dg.pre_n[t]].tolist()
+                        for t in range(dg.n_rows)]
     ctx.pre_index = dg.pre_index
     ctx.dp_beg = dp_beg
     ctx.dp_end = dp_end
@@ -207,12 +244,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None):
-    """Build the flattened/banded input arrays for ops.dp_pallas."""
+    """Build the flattened/banded input arrays for ops.dp_pallas.
+
+    Control arrays use narrow dtypes (int8/int16, widened on device): the
+    host->device tunnel is tens of MB/s, so bytes shipped per round matter.
+    The query profile travels as [Wq] int8 codes; scal carries the score
+    matrix flattened at its tail (dp_pallas builds qp on device)."""
     from ..ops import dp_pallas as dpp
     qlen = dg.qlen
     Wq = force_Wq if force_Wq else _round_up(qlen + 1, 128)
     w = qlen if params.wb < 0 else params.wb + int(params.wf * qlen)
-    scal = np.zeros(dpp.S_NSCAL, dtype=np.int32)
+    m = params.m
+    scal = np.zeros(dpp.S_NSCAL + m * m, dtype=np.int32)
     scal[dpp.S_QLEN] = qlen
     scal[dpp.S_NROWS] = dg.n_rows
     scal[dpp.S_W] = w
@@ -226,16 +269,21 @@ def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None):
     scal[dpp.S_OE2] = params.gap_oe2
     scal[dpp.S_ZDROP] = params.zdrop
     scal[dpp.S_DPSN] = qlen // dg.pn + 1
-    qp = np.zeros((params.m, Wq), dtype=np.int32)
-    qcol = dg.qcol[1:qlen + 1].astype(np.int64)
-    qp[:, 1:qlen + 1] = np.asarray(params.mat)[:, qcol]
+    scal[dpp.S_NSCAL:] = np.asarray(params.mat, dtype=np.int64).reshape(-1)
+    # qp[k, 0] and cols > qlen are zeroed on device via the column masks
+    qcodes = np.zeros(Wq, dtype=np.int8)
+    qcodes[1:qlen + 1] = dg.qcol[1:qlen + 1]
+    narrow = np.int16 if max(qlen, dg.R) < 32000 else np.int32
     cfg = dpp.PallasDPConfig(
         gap_mode=params.gap_mode, align_mode=params.align_mode,
-        pn=dg.pn, R=dg.R, WB=WB, Wq=Wq, P=dg.P, O=dg.O, m=params.m,
+        pn=dg.pn, R=dg.R, WB=WB, Wq=Wq, P=dg.P, O=dg.O, m=m,
         use_zdrop=params.zdrop > 0)
-    return cfg, (scal, dg.bases, dg.pre_idx.reshape(-1), dg.pre_n,
-                 dg.out_idx.reshape(-1), dg.out_n, dg.remain, qp,
-                 dg.mpl, dg.mpr)
+    return cfg, (scal, dg.bases.astype(np.int8),
+                 dg.pre_idx.reshape(-1).astype(narrow),
+                 dg.pre_n.astype(np.int8),
+                 dg.out_idx.reshape(-1).astype(narrow),
+                 dg.out_n.astype(np.int8), dg.remain.astype(narrow),
+                 qcodes, dg.mpl.astype(narrow), dg.mpr.astype(narrow))
 
 
 def pick_WB(params, qlen: int, pn: int) -> int:
@@ -310,14 +358,15 @@ def align_sequence_to_graph_device(graph, params, query) -> AlignResult:
     if not params.ret_cigar:
         return res
     btc = bt_xla.BTConfig(gap_mode=params.gap_mode, pn=dg.pn, R=dg.R,
-                          WB=WB, P=dg.P, LMAX=dg.R + cfg.Wq)
+                          WB=WB, P=dg.P,
+                          LMAX=((dg.R + cfg.Wq) + 511) // 512 * 512)
     qcodes = np.zeros(cfg.Wq, dtype=np.int32)
     qcodes[:dg.qlen] = np.asarray(query, dtype=np.int32)
     b = lambda x: jnp.asarray(x)[None]  # noqa: E731
     steps, n_steps, fail, end_i, end_j = bt_xla.backtrack_batch(
         btc, out.Hb, out.E1b, out.E2b, out.F1b, out.F2b,
-        out.beg_sn, out.end_sn, b(dg.pre_idx), b(dg.pre_n), b(dg.bases),
-        b(qcodes), b(np.asarray(params.mat, dtype=np.int32)),
+        out.beg_sn, out.end_sn, b(dg.pre_idx.reshape(-1)), b(dg.pre_n),
+        b(dg.bases), b(qcodes), b(np.asarray(params.mat, dtype=np.int32)),
         jnp.asarray(misc[dpp.M_BI])[None], jnp.asarray(misc[dpp.M_BJ])[None],
         b(np.int32(dg.qlen)), b(np.int32(params.gap_ext1)),
         b(np.int32(params.gap_oe1)), b(np.int32(params.gap_ext2)),

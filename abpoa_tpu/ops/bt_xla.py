@@ -41,16 +41,25 @@ class BTConfig(NamedTuple):
     LMAX: int
 
 
-def _mk_cell(cfg, plane, beg_sn):
+def _mk_slab(cfg, planes, beg_sn):
+    """planes: [R, 5, WB] (H,E1,E2,F1,F2 packed). One dynamic_slice per
+    (row, column-pair) access: returns the 5 plane values at column j and
+    at column j-1 (0 outside the tile, matching zero-residue planes)."""
     pn, WB = cfg.pn, cfg.WB
 
-    def cell(i, j):
+    def slab(i, j):
         off = beg_sn[i] * pn
         lc = j - off
-        ok = (lc >= 0) & (lc < WB)
-        v = plane[i, jnp.clip(lc, 0, WB - 1)]
-        return jnp.where(ok, v, 0)
-    return cell
+        s0 = jnp.clip(lc - 1, 0, WB - 2)
+        sl = jax.lax.dynamic_slice(planes, (i, 0, s0), (1, 5, 2))[0]
+        i_j = jnp.clip(lc - s0, 0, 1)
+        i_j1 = jnp.clip(lc - 1 - s0, 0, 1)
+        vj = jnp.where((lc >= 0) & (lc < WB),
+                       jnp.where(i_j == 1, sl[:, 1], sl[:, 0]), 0)
+        vj1 = jnp.where((lc - 1 >= 0) & (lc - 1 < WB),
+                        jnp.where(i_j1 == 1, sl[:, 1], sl[:, 0]), 0)
+        return vj, vj1
+    return slab
 
 
 def _first_true(conds):
@@ -61,18 +70,15 @@ def _first_true(conds):
     return idx
 
 
-def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
+def backtrack_one(cfg: BTConfig, planes, beg_sn, end_sn,
                   pre_idx, pre_n, bases, qcodes, mat, best_i, best_j,
                   qlen, e1, oe1, e2, oe2):
-    """One instance. Returns (steps[LMAX] packed i32, n_steps, fail,
-    end_i, end_j): the stream in push order (reverse alignment order)."""
+    """One instance. planes: [R, 5, WB] packed (H,E1,E2,F1,F2). Returns
+    (steps[LMAX] packed i32, n_steps, fail, end_i, end_j): the stream in
+    push order (reverse alignment order)."""
     pn = cfg.pn
     gm = cfg.gap_mode
-    cH = _mk_cell(cfg, Hb, beg_sn)
-    cE1 = _mk_cell(cfg, E1b, beg_sn)
-    cE2 = _mk_cell(cfg, E2b, beg_sn)
-    cF1 = _mk_cell(cfg, F1b, beg_sn)
-    cF2 = _mk_cell(cfg, F2b, beg_sn)
+    slab = _mk_slab(cfg, planes, beg_sn)
 
     def in_band(pre, col):
         return ((beg_sn[pre] * pn <= col)
@@ -89,15 +95,28 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
 
     def body(state):
         i, j, cur_op, indel_first, steps, n, fail, done = state
-        hij = cH(i, j)
+        vj, vj1 = slab(i, j)
+        hij, e1ij, e2ij, f1ij, f2ij = vj[0], vj[1], vj[2], vj[3], vj[4]
+        h_prev, f1prev, f2prev = vj1[0], vj1[3], vj1[4]
         s = score(i, j)
+
+        # --- per-pred slab reads (one fused gather each) ---
+        pre_vj = []
+        pre_vj1 = []
+        preds = []
+        for p in range(cfg.P):
+            pre = pre_idx[i * cfg.P + p]
+            preds.append(pre)
+            pvj, pvj1 = slab(pre, j)
+            pre_vj.append(pvj)
+            pre_vj1.append(pvj1)
 
         # --- candidate: M step to pred p (needs H[pre][j-1]+s == H[i][j])
         m_hits = []
         for p in range(cfg.P):
-            pre = pre_idx[i, p]
+            pre = preds[p]
             ok = (p < pre_n[i]) & in_band(pre, j - 1)
-            m_hits.append(ok & (cH(pre, j - 1) + s == hij))
+            m_hits.append(ok & (pre_vj1[p][0] + s == hij))
         m_pick = _first_true(m_hits)
         m_possible = m_pick >= 0
 
@@ -106,13 +125,13 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
         e_newop = []
         e_pred = []
         for p in range(cfg.P):
-            pre = pre_idx[i, p]
+            pre = preds[p]
             okp = (p < pre_n[i]) & in_band(pre, j)
             if gm != LINEAR_GAP:
-                e1pre = cE1(pre, j)
-                hpre = cH(pre, j)
+                e1pre = pre_vj[p][1]
+                hpre = pre_vj[p][0]
                 hit_m = (cur_op & M_OP > 0) & (hij == e1pre)
-                hit_x = (cur_op & M_OP == 0) & (cE1(i, j) == e1pre - e1)
+                hit_x = (cur_op & M_OP == 0) & (e1ij == e1pre - e1)
                 hit1 = okp & (cur_op & E1_OP > 0) & (hit_m | hit_x)
                 op1 = jnp.where(hpre - oe1 == e1pre,
                                 jnp.int32(M_OP | F_OP), jnp.int32(E1_OP))
@@ -120,10 +139,9 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
                 e_newop.append(op1)
                 e_pred.append(pre)
                 if gm == CONVEX_GAP:
-                    e2pre = cE2(pre, j)
+                    e2pre = pre_vj[p][2]
                     hit_m2 = (cur_op & M_OP > 0) & (hij == e2pre)
-                    hit_x2 = (cur_op & M_OP == 0) & (cE2(i, j)
-                                                     == e2pre - e2)
+                    hit_x2 = (cur_op & M_OP == 0) & (e2ij == e2pre - e2)
                     hit2 = okp & (cur_op & E2_OP > 0) & (hit_m2 | hit_x2)
                     op2 = jnp.where(hpre - oe2 == e2pre,
                                     jnp.int32(M_OP | F_OP),
@@ -132,7 +150,7 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
                     e_newop.append(op2)
                     e_pred.append(pre)
             else:
-                hit = okp & (cH(pre, j) - e1 == hij)
+                hit = okp & (pre_vj[p][0] - e1 == hij)
                 e_conds.append(hit)
                 e_newop.append(jnp.int32(ALL_OP))
                 e_pred.append(pre)
@@ -147,21 +165,18 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
 
         # --- candidate: F (insertion) step
         if gm == LINEAR_GAP:
-            f_possible = cH(i, j - 1) - e1 == hij
+            f_possible = h_prev - e1 == hij
             f_op_sel = jnp.int32(ALL_OP)
         else:
-            f1ij = cF1(i, j)
-            h_prev = cH(i, j - 1)
             f1_open = h_prev - oe1 == f1ij
-            f1_ext = cF1(i, j - 1) - e1 == f1ij
+            f1_ext = f1prev - e1 == f1ij
             f1_gate = jnp.where(cur_op & M_OP > 0, hij == f1ij, True)
             hit_f1 = (cur_op & F1_OP > 0) & f1_gate & (f1_open | f1_ext)
             op_f1 = jnp.where(f1_open, jnp.int32(M_OP | E_OP),
                               jnp.int32(F1_OP))
             if gm == CONVEX_GAP:
-                f2ij = cF2(i, j)
                 f2_open = h_prev - oe2 == f2ij
-                f2_ext = cF2(i, j - 1) - e2 == f2ij
+                f2_ext = f2prev - e2 == f2ij
                 f2_gate = jnp.where(cur_op & M_OP > 0, hij == f2ij, True)
                 hit_f2 = (cur_op & F2_OP > 0) & f2_gate \
                     & (f2_open | f2_ext)
@@ -195,7 +210,7 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
         use_m = use_m1 | use_m2
         m_pred = jnp.int32(0)
         for p in range(cfg.P):
-            m_pred = jnp.where(m_pick == p, pre_idx[i, p], m_pred)
+            m_pred = jnp.where(m_pick == p, preds[p], m_pred)
 
         op_code = jnp.where(use_m, 0, jnp.where(use_e, 2, 1))  # M/D/I
         steps, n = push((steps, n), op_code, i, j)
@@ -227,10 +242,16 @@ def backtrack_one(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
 def backtrack_batch(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
                     pre_idx, pre_n, bases, qcodes, mat, best_i, best_j,
                     qlen, e1, oe1, e2, oe2):
+    planes = jnp.stack([Hb, E1b, E2b, F1b, F2b], axis=2)  # [B, R, 5, WB]
+    i32 = jnp.int32
     fn = lambda *a: backtrack_one(cfg, *a)  # noqa: E731
-    return jax.vmap(fn)(Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn, pre_idx,
-                        pre_n, bases, qcodes, mat, best_i, best_j, qlen,
-                        e1, oe1, e2, oe2)
+    return jax.vmap(fn)(planes, beg_sn.astype(i32), end_sn.astype(i32),
+                        pre_idx.astype(i32), pre_n.astype(i32),
+                        bases.astype(i32), qcodes.astype(i32),
+                        mat.astype(i32), best_i.astype(i32),
+                        best_j.astype(i32), qlen.astype(i32),
+                        e1.astype(i32), oe1.astype(i32), e2.astype(i32),
+                        oe2.astype(i32))
 
 
 def replay_steps(graph, params, query, steps, n_steps, best_i, best_j,

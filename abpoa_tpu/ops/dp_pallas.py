@@ -449,14 +449,42 @@ class PallasDPOut(NamedTuple):
 
 @partial(jax.jit, static_argnums=(0, 11))
 def pallas_poa_dp_batch(cfg: PallasDPConfig, scal, bases, pre_idx, pre_n,
-                        out_idx, out_n, remain, qp, mpl0, mpr0,
+                        out_idx, out_n, remain, qcodes_or_qp, mpl0, mpr0,
                         interpret=False):
     """Batched banded DP. All array args carry a leading batch axis B.
-    pre_idx: [B, R*P] flattened; out_idx: [B, R*O] flattened."""
+    pre_idx: [B, R*P] flattened; out_idx: [B, R*O] flattened.
+
+    Args may arrive in narrow dtypes (int8/int16) — the TPU tunnel moves
+    tens of MB/s, so halving the per-round host->device control-array
+    traffic matters more than the on-device casts added here. The query
+    profile is built on device when qcodes_or_qp is a [B, Wq] code array
+    (one-hot matmul against scal-packed... the mat rows are folded into
+    the last m*m slots of scal); a prebuilt [B, m, Wq] qp passes through.
+    """
     B = bases.shape[0]
     R, WB = cfg.R, cfg.WB
     kern = make_dp_kernel(cfg)
     i32 = jnp.int32
+    scal, mat = scal[:, :S_NSCAL], scal[:, S_NSCAL:]
+    if qcodes_or_qp.ndim == 2:
+        # [B, Wq] codes -> qp[b, k, j] = mat[k, codes[b, j]] via one-hot
+        codes = qcodes_or_qp.astype(i32)
+        onehot = (codes[:, None, :]
+                  == jnp.arange(cfg.m, dtype=i32)[None, :, None])
+        matb = mat.reshape(B, cfg.m, cfg.m).astype(i32)
+        qp = jnp.einsum("bkc,bcj->bkj", matb, onehot.astype(i32),
+                        preferred_element_type=i32)
+    else:  # prebuilt [B, m, Wq]
+        qp = qcodes_or_qp.astype(i32)
+    scal = scal.astype(i32)
+    bases = bases.astype(i32)
+    pre_idx = pre_idx.astype(i32)
+    pre_n = pre_n.astype(i32)
+    out_idx = out_idx.astype(i32)
+    out_n = out_n.astype(i32)
+    remain = remain.astype(i32)
+    mpl0 = mpl0.astype(i32)
+    mpr0 = mpr0.astype(i32)
 
     # Mosaic block rule: last two block dims must divide (8, 128) or equal
     # the array dims — per-instance vectors therefore travel as [B, 1, X]

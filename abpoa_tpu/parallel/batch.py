@@ -24,7 +24,7 @@ import numpy as np
 
 from ..api import ABPOA
 from ..params import Params, SRC_NODE_ID, SINK_NODE_ID
-from ..align.engine_jax import (export_dense, _make_inputs,
+from ..align.engine_jax import (export_dense, repad_dense, _make_inputs,
                                 _backtrack_from_planes, _bucket)
 
 
@@ -110,9 +110,7 @@ class BatchPOA:
             pns = {d.pn for d in nat.values()}
             for pn in pns:
                 group = [k for k in todo if nat[k].pn == pn]
-                dgs = [export_dense(abs_[k].graph, params, instances[k][r],
-                                    force_R=R, force_W=W, force_P=P_,
-                                    force_O=O_) for k in group]
+                dgs = [repad_dense(nat[k], R, W, P_, O_) for k in group]
                 if self._effective_engine() == "pallas":
                     self._round_pallas(abs_, group, dgs, r, instances)
                 else:
@@ -161,24 +159,24 @@ class BatchPOA:
         self.dp_seconds += time.perf_counter() - t0
         self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
 
+        LMAX = ((cfg.R + cfg.Wq) + 511) // 512 * 512
         btc = bt_xla.BTConfig(gap_mode=params.gap_mode, pn=cfg.pn,
-                              R=cfg.R, WB=WB, P=cfg.P,
-                              LMAX=cfg.R + cfg.Wq)
-        qcodes = np.zeros((len(group), cfg.Wq), dtype=np.int32)
-        for b, k in enumerate(group):
-            q = instances[k][r]
-            qcodes[b, :len(q)] = q
+                              R=cfg.R, WB=WB, P=cfg.P, LMAX=LMAX)
+        # device-resident qcodes: stacked[7] holds codes at columns 1..qlen,
+        # i.e. code of query position j-1 at index j — exactly the qcodes[j-1]
+        # the backtrack wants when indexed at j-1+1
         mat = np.broadcast_to(np.asarray(params.mat, dtype=np.int32),
                               (len(group), params.m, params.m))
         s = lambda v: np.full(len(group), v, np.int32)  # noqa: E731
         t0 = time.perf_counter()
+        # control arrays reused from the DP's device-resident copies
+        # (stacked index 1=bases, 2=pre_idx flat, 3=pre_n)
+        qcodes_dev = stacked[7][:, 1:]   # [B, Wq-1], codes of pos 0..
         steps, n_steps, fail, end_i, end_j = bt_xla.backtrack_batch(
             btc, out.Hb, out.E1b, out.E2b, out.F1b, out.F2b,
             out.beg_sn, out.end_sn,
-            jnp.asarray(np.stack([dg.pre_idx for dg in dgs])),
-            jnp.asarray(np.stack([dg.pre_n for dg in dgs])),
-            jnp.asarray(np.stack([dg.bases for dg in dgs])),
-            jnp.asarray(qcodes), jnp.asarray(mat),
+            stacked[2], stacked[3], stacked[1],
+            qcodes_dev, jnp.asarray(mat),
             jnp.asarray(misc[:, dpp.M_BI]), jnp.asarray(misc[:, dpp.M_BJ]),
             jnp.asarray(s(0)), jnp.asarray(s(params.gap_ext1)),
             jnp.asarray(s(params.gap_oe1)), jnp.asarray(s(params.gap_ext2)),

@@ -26,8 +26,8 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-N_INSTANCES = int(os.environ.get("ABPOA_BENCH_INSTANCES", "16"))
-FIXTURE = os.environ.get("ABPOA_BENCH_FIXTURE", "seq.fa")
+N_INSTANCES = int(os.environ.get("ABPOA_BENCH_INSTANCES", "64"))
+FIXTURE = os.environ.get("ABPOA_BENCH_FIXTURE", "heter.fa")
 BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 REF_BIN = REPO / ".refbuild" / "bin_stock" / "abpoa"
 
@@ -76,8 +76,8 @@ def main():
     instances = [reads] * N_INSTANCES
     params = Params().post_set()
 
-    # warmup: compile every round's bucket
-    BatchPOA(Params().post_set()).run_consensus([reads])
+    # warmup: compile every (shape-bucket) program at the bench batch size
+    BatchPOA(Params().post_set()).run_consensus(instances)
 
     bp = BatchPOA(params)
     t0 = time.perf_counter()
