@@ -96,21 +96,36 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     node = graph.node
     ids = np.asarray(i2n[:n], dtype=np.int64)
     bases = np.zeros(R, dtype=np.int32)
-    bases[:n] = np.fromiter((node[int(nid)].base for nid in ids),
-                            dtype=np.int32, count=n)
-    in_lists = [node[int(nid)].in_id for nid in ids]
-    out_lists_ = [node[int(nid)].out_id for nid in ids]
-    pre_cnt = np.fromiter(map(len, in_lists), dtype=np.int32, count=n)
-    out_cnt = np.fromiter(map(len, out_lists_), dtype=np.int32, count=n)
+    csr = getattr(graph, "_csr", None)
+    if (csr is not None and graph.is_topological_sorted
+            and csr["n"] == n):
+        # reuse the flat adjacency snapshot built by topological_sort
+        bases[:n] = csr["bases"][ids]
+        pre_cnt = csr["in_cnt"][ids]
+        out_cnt = csr["out_cnt"][ids]
+        s_in = np.repeat(csr["in_off"][:-1][ids], pre_cnt)
+        s_out = np.repeat(csr["out_off"][:-1][ids], out_cnt)
+        w_in = np.arange(len(s_in)) - np.repeat(
+            np.cumsum(pre_cnt) - pre_cnt, pre_cnt)
+        w_out = np.arange(len(s_out)) - np.repeat(
+            np.cumsum(out_cnt) - out_cnt, out_cnt)
+        flat_in = csr["in_flat"][s_in + w_in].astype(np.int64)
+        flat_out = csr["out_flat"][s_out + w_out].astype(np.int64)
+    else:
+        in_lists = [node[int(nid)].in_id for nid in ids]
+        out_lists_ = [node[int(nid)].out_id for nid in ids]
+        pre_cnt = np.fromiter(map(len, in_lists), dtype=np.int32, count=n)
+        out_cnt = np.fromiter(map(len, out_lists_), dtype=np.int32, count=n)
+        bases[:n] = np.fromiter((node[int(nid)].base for nid in ids),
+                                dtype=np.int32, count=n)
+        flat_in = np.fromiter((x for lst in in_lists for x in lst),
+                              dtype=np.int64, count=int(pre_cnt.sum()))
+        flat_out = np.fromiter((x for lst in out_lists_ for x in lst),
+                               dtype=np.int64, count=int(out_cnt.sum()))
     P = force_P if force_P else _bucket(max(int(pre_cnt.max(initial=1)), 1),
                                         2)
     O = force_O if force_O else _bucket(max(int(out_cnt.max(initial=1)), 1),
                                         2)
-    # flatten adjacency once, map node ids -> dp indices vectorized
-    flat_in = np.fromiter((x for lst in in_lists for x in lst),
-                          dtype=np.int64, count=int(pre_cnt.sum()))
-    flat_out = np.fromiter((x for lst in out_lists_ for x in lst),
-                           dtype=np.int64, count=int(out_cnt.sum()))
     n2i_np = np.asarray(n2i, dtype=np.int64)
     pre_idx = np.zeros((R, P), dtype=np.int32)
     pre_n = np.zeros(R, dtype=np.int32)
@@ -243,7 +258,8 @@ def _round_up(x: int, m: int) -> int:
     return (int(x) + m - 1) // m * m
 
 
-def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None):
+def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None,
+                       bt_lmax=0):
     """Build the flattened/banded input arrays for ops.dp_pallas.
 
     Control arrays use narrow dtypes (int8/int16, widened on device): the
@@ -277,7 +293,7 @@ def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None):
     cfg = dpp.PallasDPConfig(
         gap_mode=params.gap_mode, align_mode=params.align_mode,
         pn=dg.pn, R=dg.R, WB=WB, Wq=Wq, P=dg.P, O=dg.O, m=m,
-        use_zdrop=params.zdrop > 0)
+        use_zdrop=params.zdrop > 0, bt_lmax=bt_lmax)
     return cfg, (scal, dg.bases.astype(np.int8),
                  dg.pre_idx.reshape(-1).astype(narrow),
                  dg.pre_n.astype(np.int8),
@@ -342,11 +358,13 @@ def align_sequence_to_graph_device(graph, params, query) -> AlignResult:
         return align_sequence_to_graph_jax(graph, params, query)
     dg = export_dense(graph, params, query)
     WB = pick_WB(params, dg.qlen, dg.pn)
-    cfg, arrs = make_pallas_inputs(dg, params, WB)
+    Wq = (dg.qlen // 128 + 1) * 128
+    lmax = ((dg.R + Wq) + 511) // 512 * 512 if params.ret_cigar else 0
+    cfg, arrs = make_pallas_inputs(dg, params, WB, bt_lmax=lmax)
     batched = tuple(jnp.asarray(a)[None] for a in arrs)
     out = dpp.pallas_poa_dp_batch(cfg, *batched)
     misc = np.asarray(out.misc)[0]
-    if misc[dpp.M_OVFL]:
+    if misc[dpp.M_OVFL] or (params.ret_cigar and misc[dpp.M_FAIL]):
         return align_sequence_to_graph_jax(graph, params, query)
     n = dg.n_rows
     if params.wb >= 0:
@@ -357,28 +375,12 @@ def align_sequence_to_graph_device(graph, params, query) -> AlignResult:
     res.best_score = int(misc[dpp.M_BEST])
     if not params.ret_cigar:
         return res
-    btc = bt_xla.BTConfig(gap_mode=params.gap_mode, pn=dg.pn, R=dg.R,
-                          WB=WB, P=dg.P,
-                          LMAX=((dg.R + cfg.Wq) + 511) // 512 * 512)
-    qcodes = np.zeros(cfg.Wq, dtype=np.int32)
-    qcodes[:dg.qlen] = np.asarray(query, dtype=np.int32)
-    b = lambda x: jnp.asarray(x)[None]  # noqa: E731
-    steps, n_steps, fail, end_i, end_j = bt_xla.backtrack_batch(
-        btc, out.Hb, out.E1b, out.E2b, out.F1b, out.F2b,
-        out.beg_sn, out.end_sn, b(dg.pre_idx.reshape(-1)), b(dg.pre_n),
-        b(dg.bases), b(qcodes), b(np.asarray(params.mat, dtype=np.int32)),
-        jnp.asarray(misc[dpp.M_BI])[None], jnp.asarray(misc[dpp.M_BJ])[None],
-        b(np.int32(dg.qlen)), b(np.int32(params.gap_ext1)),
-        b(np.int32(params.gap_oe1)), b(np.int32(params.gap_ext2)),
-        b(np.int32(params.gap_oe2)))
-    if bool(np.asarray(fail)[0]):
-        return align_sequence_to_graph_jax(graph, params, query)
     return bt_xla.replay_steps(graph, params, np.asarray(query),
-                               np.asarray(steps)[0],
-                               int(np.asarray(n_steps)[0]),
+                               np.asarray(out.steps)[0],
+                               int(misc[dpp.M_NSTEPS]),
                                int(misc[dpp.M_BI]), int(misc[dpp.M_BJ]),
-                               int(np.asarray(end_i)[0]),
-                               int(np.asarray(end_j)[0]), res)
+                               int(misc[dpp.M_ENDI]),
+                               int(misc[dpp.M_ENDJ]), res)
 
 
 def unpack_banded_planes(params, dg, Hb, E1b, E2b, F1b, F2b, beg_sn,

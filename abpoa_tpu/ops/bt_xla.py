@@ -257,40 +257,62 @@ def backtrack_batch(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
 def replay_steps(graph, params, query, steps, n_steps, best_i, best_j,
                  end_i, end_j, res):
     """Host replay: packed device steps -> reference cigar list + res
-    fields (oracle _bt_common_start / _bt_finish semantics)."""
-    from .. import cigar as cg
+    fields, vectorized (push_cigar merging applies only to runs of CINS —
+    M/X and D entries are appended one per step; ref abpoa_align.h:54-73)."""
+    from ..cigar import CMATCH, CINS, CDEL
     qlen = len(query)
-    i2n = graph.index_to_node_id
-    cigar: list = []
-    if best_j < qlen:
-        cg.push_cigar(cigar, cg.CINS, qlen - best_j, -1, qlen - 1)
+    i2n = np.asarray(graph.index_to_node_id, dtype=np.int64)
     n = int(n_steps)
     enc = np.asarray(steps[:n])
     ops = enc & 0x3
     rows = (enc >> 2) & 0xFFF
     cols = enc >> 14
-    start_i, start_j = int(best_i), int(best_j)
-    for k in range(n):
-        op, i, j = int(ops[k]), int(rows[k]), int(cols[k])
-        start_i, start_j = i, j
-        nid = int(i2n[i])
-        if op == 0:      # match/mismatch column
-            cg.push_cigar(cigar, cg.CMATCH, 1, nid, j - 1)
-            res.n_aln_bases += 1
-            if graph.node[nid].base == query[j - 1]:
-                res.n_matched_bases += 1
-        elif op == 2:    # deletion (E step)
-            cg.push_cigar(cigar, cg.CDEL, 1, nid, j - 1)
-        else:            # insertion (F step)
-            cg.push_cigar(cigar, cg.CINS, 1, nid, j - 1)
-            res.n_aln_bases += 1
+    nids = i2n[rows] if n else np.zeros(0, np.int64)
+    cigar: list = []
+    if best_j < qlen:
+        cigar.append((CINS, qlen - 1, qlen - best_j))
+    if n:
+        # counters (M: aln+match; I: aln)
+        m_mask = ops == 0
+        res.n_aln_bases += int(m_mask.sum() + (ops == 1).sum())
+        if m_mask.any():
+            mrows = nids[m_mask]
+            bases = np.fromiter((graph.node[int(x)].base for x in mrows),
+                                dtype=np.int64, count=len(mrows))
+            res.n_matched_bases += int(
+                (bases == np.asarray(query)[cols[m_mask] - 1]).sum())
+        # run-length groups over the op stream
+        brk = np.nonzero(np.diff(ops))[0] + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [n]))
+        for s0, s1 in zip(starts, ends):
+            op = int(ops[s0])
+            if op == 0:    # one CMATCH entry per column
+                cigar.extend(zip([CMATCH] * (s1 - s0),
+                                 nids[s0:s1].tolist(),
+                                 (cols[s0:s1] - 1).tolist()))
+            elif op == 2:  # one CDEL entry per step (CDEL never merges)
+                cigar.extend(zip([CDEL] * (s1 - s0), nids[s0:s1].tolist(),
+                                 [1] * (s1 - s0)))
+            else:          # CINS runs merge, keeping the first pushed qid
+                if cigar and cigar[-1][0] == CINS:
+                    last = cigar[-1]
+                    cigar[-1] = (CINS, last[1], last[2] + (s1 - s0))
+                else:
+                    cigar.append((CINS, int(cols[s0]) - 1, s1 - s0))
     if int(end_j) > 0:
-        cg.push_cigar(cigar, cg.CINS, int(end_j), -1, int(end_j) - 1)
+        if cigar and cigar[-1][0] == CINS:
+            last = cigar[-1]
+            cigar[-1] = (CINS, last[1], last[2] + int(end_j))
+        else:
+            cigar.append((CINS, int(end_j) - 1, int(end_j)))
     if not params.rev_cigar:
         cigar.reverse()
     res.cigar = cigar
     res.node_e = int(i2n[int(best_i)])
     res.query_e = int(best_j) - 1
+    start_i = int(rows[n - 1]) if n else int(best_i)
+    start_j = int(cols[n - 1]) if n else int(best_j)
     res.node_s = int(i2n[start_i])
     res.query_s = start_j - 1
     return res

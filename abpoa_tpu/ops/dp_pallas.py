@@ -50,7 +50,12 @@ NEG = -(1 << 29)
  S_OE2, S_ZDROP, S_DPSN, S_NSCAL) = range(14)
 
 # misc output layout
-(M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NMISC) = range(6)
+(M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NSTEPS, M_FAIL, M_ENDI, M_ENDJ,
+ M_NMISC) = range(10)
+
+# backtrack operator bitmask (ref abpoa_align.h:20-27)
+BT_M, BT_E1, BT_E2, BT_F1, BT_F2 = 0x1, 0x2, 0x4, 0x8, 0x10
+BT_E, BT_F, BT_ALL = 0x6, 0x18, 0x1F
 
 
 class PallasDPConfig(NamedTuple):
@@ -64,6 +69,7 @@ class PallasDPConfig(NamedTuple):
     O: int
     m: int
     use_zdrop: bool
+    bt_lmax: int = 0   # >0: run the backtrack in-kernel, emit <=bt_lmax steps
 
 
 def _log2(x: int) -> int:
@@ -148,7 +154,7 @@ def make_dp_kernel(cfg: PallasDPConfig):
     def kernel(scal, bases, pre_idx, pre_n, out_idx, out_n, remain, qp,
                mpl0, mpr0,
                Hb, E1b, E2b, F1b, F2b, begsn_o, endsn_o, mpl_o, mpr_o,
-               misc_o, pad, qpad):
+               misc_o, steps_o, pad, qpad):
         inf = scal[0, 0, S_INF]
         qlen = scal[0, 0, S_QLEN]
         n_rows = scal[0, 0, S_NROWS]
@@ -431,6 +437,184 @@ def make_dp_kernel(cfg: PallasDPConfig):
         misc_o[0, 0, M_CELLS] = n_cells
         misc_o[0, 0, M_OVFL] = ovfl
 
+        # ------------- in-kernel backtrack (ref :109-429) -------------
+        # Planes never leave VMEM; each step writes one packed int32
+        # (op|row<<2|col<<14) to the SMEM step stream. Semantics mirror
+        # ops/bt_xla.py (itself the oracle's twin) exactly.
+        if cfg.bt_lmax:
+            def lane_at(rowv, lc):
+                v = jnp.sum(jnp.where(l == lc, rowv, 0))
+                return jnp.where((lc >= 0) & (lc < WB), v, 0)
+
+            iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.Wq), 1)
+
+            def cell2(ref, i, j):
+                """(value at col j, value at col j-1) of banded row i."""
+                rowv = ref[0, pl.ds(i, 1), :]
+                lc = j - vget(begsn_o, i) * pn
+                return lane_at(rowv, lc), lane_at(rowv, lc - 1)
+
+            def in_band_bt(i, col):
+                return ((vget(begsn_o, i) * pn <= col)
+                        & (col <= (vget(endsn_o, i) + 1) * pn - 1))
+
+            def bt_body(state):
+                i, j, cur_op, if_, nst, fail, done = state
+                hij, h_prev = cell2(Hb, i, j)
+                base = bases[0, 0, i]
+                s = jnp.sum(jnp.where(iota_q == j,
+                                      qp[0, pl.ds(base, 1), :], 0))
+
+                if gm != LINEAR_GAP:
+                    e1ij, _ = cell2(E1b, i, j)
+                    f1ij, f1prev = cell2(F1b, i, j)
+                if gm == CONVEX_GAP:
+                    e2ij, _ = cell2(E2b, i, j)
+                    f2ij, f2prev = cell2(F2b, i, j)
+
+                m_hits = []
+                e_conds = []
+                e_newop = []
+                e_pred = []
+                for p in range(cfg.P):
+                    pre = pre_idx[0, 0, i * cfg.P + p]
+                    pv = p < pre_n[0, 0, i]
+                    hpre, hpre1 = cell2(Hb, pre, j)
+                    m_hits.append(pv & in_band_bt(pre, j - 1)
+                                  & (hpre1 + s == hij))
+                    okp = pv & in_band_bt(pre, j)
+                    if gm != LINEAR_GAP:
+                        e1pre, _ = cell2(E1b, pre, j)
+                        hit_m = (cur_op & BT_M > 0) & (hij == e1pre)
+                        hit_x = (cur_op & BT_M == 0) & (e1ij == e1pre - e1)
+                        e_conds.append(okp & (cur_op & BT_E1 > 0)
+                                       & (hit_m | hit_x))
+                        e_newop.append(jnp.where(hpre - oe1 == e1pre,
+                                                 jnp.int32(BT_M | BT_F),
+                                                 jnp.int32(BT_E1)))
+                        e_pred.append(pre)
+                        if gm == CONVEX_GAP:
+                            e2pre, _ = cell2(E2b, pre, j)
+                            hit_m2 = (cur_op & BT_M > 0) & (hij == e2pre)
+                            hit_x2 = (cur_op & BT_M == 0) \
+                                & (e2ij == e2pre - e2)
+                            e_conds.append(okp & (cur_op & BT_E2 > 0)
+                                           & (hit_m2 | hit_x2))
+                            e_newop.append(jnp.where(
+                                hpre - oe2 == e2pre,
+                                jnp.int32(BT_M | BT_F), jnp.int32(BT_E2)))
+                            e_pred.append(pre)
+                    else:
+                        e_conds.append(okp & (hpre - e1 == hij))
+                        e_newop.append(jnp.int32(BT_ALL))
+                        e_pred.append(pre)
+
+                m_pick = jnp.int32(-1)
+                for k in reversed(range(cfg.P)):
+                    m_pick = jnp.where(m_hits[k], jnp.int32(k), m_pick)
+                m_possible = m_pick >= 0
+                e_pick = jnp.int32(-1)
+                for k in reversed(range(len(e_conds))):
+                    e_pick = jnp.where(e_conds[k], jnp.int32(k), e_pick)
+                e_possible = e_pick >= 0
+                e_pred_sel = jnp.int32(0)
+                e_op_sel = jnp.int32(BT_ALL)
+                for k in range(len(e_conds)):
+                    sel = e_pick == k
+                    e_pred_sel = jnp.where(sel, e_pred[k], e_pred_sel)
+                    e_op_sel = jnp.where(sel, e_newop[k], e_op_sel)
+
+                if gm == LINEAR_GAP:
+                    f_possible = h_prev - e1 == hij
+                    f_op_sel = jnp.int32(BT_ALL)
+                else:
+                    f1_open = h_prev - oe1 == f1ij
+                    f1_ext = f1prev - e1 == f1ij
+                    f1_gate = jnp.where(cur_op & BT_M > 0, hij == f1ij,
+                                        True)
+                    hit_f1 = (cur_op & BT_F1 > 0) & f1_gate \
+                        & (f1_open | f1_ext)
+                    op_f1 = jnp.where(f1_open, jnp.int32(BT_M | BT_E),
+                                      jnp.int32(BT_F1))
+                    if gm == CONVEX_GAP:
+                        f2_open = h_prev - oe2 == f2ij
+                        f2_ext = f2prev - e2 == f2ij
+                        f2_gate = jnp.where(cur_op & BT_M > 0,
+                                            hij == f2ij, True)
+                        hit_f2 = (cur_op & BT_F2 > 0) & f2_gate \
+                            & (f2_open | f2_ext)
+                        op_f2 = jnp.where(f2_open, jnp.int32(BT_M | BT_E),
+                                          jnp.int32(BT_F2))
+                    else:
+                        hit_f2 = jnp.bool_(False)
+                        op_f2 = jnp.int32(BT_ALL)
+                    f_possible = hit_f1 | hit_f2
+                    f_op_sel = jnp.where(hit_f1, op_f1, op_f2)
+
+                use_m1 = (cur_op & BT_M > 0) & jnp.logical_not(if_) \
+                    & m_possible
+                if gm == LINEAR_GAP:
+                    use_e = jnp.logical_not(use_m1) & e_possible
+                else:
+                    use_e = jnp.logical_not(use_m1) \
+                        & (cur_op & BT_E > 0) & e_possible
+                use_f = (jnp.logical_not(use_m1) & jnp.logical_not(use_e)
+                         & f_possible)
+                if gm != LINEAR_GAP:
+                    use_f = use_f & (cur_op & BT_F > 0)
+                if gm == LINEAR_GAP:
+                    use_m2 = (jnp.logical_not(use_m1)
+                              & jnp.logical_not(use_e)
+                              & jnp.logical_not(use_f) & if_ & m_possible)
+                else:
+                    use_m2 = (jnp.logical_not(use_m1)
+                              & jnp.logical_not(use_e)
+                              & jnp.logical_not(use_f)
+                              & (cur_op & BT_M > 0) & if_ & m_possible)
+                any_hit = use_m1 | use_e | use_f | use_m2
+                fail = fail | jnp.logical_not(any_hit)
+                use_m = use_m1 | use_m2
+                m_pred = jnp.int32(0)
+                for p in range(cfg.P):
+                    m_pred = jnp.where(m_pick == p,
+                                       pre_idx[0, 0, i * cfg.P + p],
+                                       m_pred)
+                op_code = jnp.where(use_m, 0, jnp.where(use_e, 2, 1))
+
+                @pl.when(any_hit)
+                def _():
+                    steps_o[0, 0, nst] = op_code | (i << 2) | (j << 14)
+                nst = jnp.where(any_hit, nst + 1, nst)
+                new_i = jnp.where(use_m, m_pred,
+                                  jnp.where(use_e, e_pred_sel, i))
+                new_j = jnp.where(use_m | use_f, j - 1, j)
+                new_cur = jnp.where(
+                    use_m, jnp.int32(BT_ALL),
+                    jnp.where(use_e, e_op_sel,
+                              jnp.where(use_f, f_op_sel, cur_op)))
+                new_if = jnp.where(use_m, jnp.bool_(False), if_)
+                done = fail | (new_i <= 0) | (new_j <= 0)
+                return (new_i, new_j, new_cur, new_if, nst, fail, done)
+
+            def bt_cond(state):
+                i, j, cur_op, if_, nst, fail, done = state
+                return jnp.logical_not(done) & (nst < cfg.bt_lmax)
+
+            bt_init = (bi, bj, jnp.int32(BT_ALL), jnp.bool_(True),
+                       jnp.int32(0), jnp.bool_(False),
+                       (bi <= 0) | (bj <= 0))
+            (ei, ej, _, _, nst, btfail, _) = jax.lax.while_loop(
+                bt_cond, bt_body, bt_init)
+            misc_o[0, 0, M_NSTEPS] = nst
+            misc_o[0, 0, M_FAIL] = btfail.astype(jnp.int32)
+            misc_o[0, 0, M_ENDI] = ei
+            misc_o[0, 0, M_ENDJ] = ej
+        else:
+            misc_o[0, 0, M_NSTEPS] = 0
+            misc_o[0, 0, M_FAIL] = 0
+            misc_o[0, 0, M_ENDI] = 0
+            misc_o[0, 0, M_ENDJ] = 0
+
     return kernel
 
 
@@ -445,6 +629,7 @@ class PallasDPOut(NamedTuple):
     mpl: jax.Array
     mpr: jax.Array
     misc: jax.Array    # [B, M_NMISC]
+    steps: jax.Array   # [B, bt_lmax] packed op|row<<2|col<<14
 
 
 @partial(jax.jit, static_argnums=(0, 11))
@@ -500,6 +685,7 @@ def pallas_poa_dp_batch(cfg: PallasDPConfig, scal, bases, pre_idx, pre_n,
         return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
                             memory_space=pltpu.SMEM)
 
+    LS = max(cfg.bt_lmax, 8)
     out_shapes = (
         jax.ShapeDtypeStruct((B, R, WB), i32),   # Hb
         jax.ShapeDtypeStruct((B, R, WB), i32),   # E1b
@@ -511,10 +697,11 @@ def pallas_poa_dp_batch(cfg: PallasDPConfig, scal, bases, pre_idx, pre_n,
         jax.ShapeDtypeStruct((B, 1, R), i32),    # mpl
         jax.ShapeDtypeStruct((B, 1, R), i32),    # mpr
         jax.ShapeDtypeStruct((B, 1, M_NMISC), i32),
+        jax.ShapeDtypeStruct((B, 1, LS), i32),   # steps
     )
     out_specs = (vmem(R, WB), vmem(R, WB), vmem(R, WB), vmem(R, WB),
                  vmem(R, WB), smem(1, R), smem(1, R), smem(1, R),
-                 smem(1, R), smem(1, M_NMISC))
+                 smem(1, R), smem(1, M_NMISC), smem(1, LS))
     in_specs = [smem(1, S_NSCAL), smem(1, R), smem(1, R * cfg.P),
                 smem(1, R), smem(1, R * cfg.O), smem(1, R), smem(1, R),
                 vmem(cfg.m, cfg.Wq), smem(1, R), smem(1, R)]
@@ -533,8 +720,8 @@ def pallas_poa_dp_batch(cfg: PallasDPConfig, scal, bases, pre_idx, pre_n,
         interpret=interpret,
     )(v3(scal), v3(bases), v3(pre_idx), v3(pre_n), v3(out_idx), v3(out_n),
       v3(remain), qp, v3(mpl0), v3(mpr0))
-    (Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn, mpl, mpr, misc) = outs
+    (Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn, mpl, mpr, misc, steps) = outs
     return PallasDPOut(Hb, E1b, E2b, F1b, F2b,
                        beg_sn.reshape(B, R), end_sn.reshape(B, R),
                        mpl.reshape(B, R), mpr.reshape(B, R),
-                       misc.reshape(B, M_NMISC))
+                       misc.reshape(B, M_NMISC), steps.reshape(B, LS))

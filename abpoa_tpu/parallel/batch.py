@@ -147,7 +147,9 @@ class BatchPOA:
         params = self.params
         WB = max(pick_WB(params, dg.qlen, dg.pn) for dg in dgs)
         Wq = max((dg.qlen // 128 + 1) * 128 for dg in dgs)
-        cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=Wq)
+        LMAX = ((dgs[0].R + Wq) + 511) // 512 * 512
+        cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=Wq,
+                                              bt_lmax=LMAX)
                            for dg in dgs))
         cfg = cfgs[0]
         assert all(c == cfg for c in cfgs)
@@ -156,44 +158,16 @@ class BatchPOA:
         t0 = time.perf_counter()
         out = dpp.pallas_poa_dp_batch(cfg, *stacked)
         misc = np.asarray(out.misc)      # sync point
+        steps = np.asarray(out.steps)
         self.dp_seconds += time.perf_counter() - t0
         self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
-
-        LMAX = ((cfg.R + cfg.Wq) + 511) // 512 * 512
-        btc = bt_xla.BTConfig(gap_mode=params.gap_mode, pn=cfg.pn,
-                              R=cfg.R, WB=WB, P=cfg.P, LMAX=LMAX)
-        # device-resident qcodes: stacked[7] holds codes at columns 1..qlen,
-        # i.e. code of query position j-1 at index j — exactly the qcodes[j-1]
-        # the backtrack wants when indexed at j-1+1
-        mat = np.broadcast_to(np.asarray(params.mat, dtype=np.int32),
-                              (len(group), params.m, params.m))
-        s = lambda v: np.full(len(group), v, np.int32)  # noqa: E731
-        t0 = time.perf_counter()
-        # control arrays reused from the DP's device-resident copies
-        # (stacked index 1=bases, 2=pre_idx flat, 3=pre_n)
-        qcodes_dev = stacked[7][:, 1:]   # [B, Wq-1], codes of pos 0..
-        steps, n_steps, fail, end_i, end_j = bt_xla.backtrack_batch(
-            btc, out.Hb, out.E1b, out.E2b, out.F1b, out.F2b,
-            out.beg_sn, out.end_sn,
-            stacked[2], stacked[3], stacked[1],
-            qcodes_dev, jnp.asarray(mat),
-            jnp.asarray(misc[:, dpp.M_BI]), jnp.asarray(misc[:, dpp.M_BJ]),
-            jnp.asarray(s(0)), jnp.asarray(s(params.gap_ext1)),
-            jnp.asarray(s(params.gap_oe1)), jnp.asarray(s(params.gap_ext2)),
-            jnp.asarray(s(params.gap_oe2)))
-        steps = np.asarray(steps)
-        n_steps = np.asarray(n_steps)
-        fail = np.asarray(fail)
-        end_i = np.asarray(end_i)
-        end_j = np.asarray(end_j)
-        self.bt_seconds += time.perf_counter() - t0
 
         from ..align.engine_np import AlignResult
         from ..params import SRC_NODE_ID, SINK_NODE_ID
         for b, k in enumerate(group):
             ab = abs_[k]
             q = instances[k][r]
-            if misc[b, dpp.M_OVFL] or fail[b]:
+            if misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL]:
                 self.fallbacks += 1
                 res = align_sequence_to_subgraph(
                     ab.graph, params, SRC_NODE_ID, SINK_NODE_ID, q,
@@ -202,10 +176,11 @@ class BatchPOA:
                 res = AlignResult()
                 res.best_score = int(misc[b, dpp.M_BEST])
                 bt_xla.replay_steps(ab.graph, params, np.asarray(q),
-                                    steps[b], int(n_steps[b]),
+                                    steps[b], int(misc[b, dpp.M_NSTEPS]),
                                     int(misc[b, dpp.M_BI]),
                                     int(misc[b, dpp.M_BJ]),
-                                    int(end_i[b]), int(end_j[b]), res)
+                                    int(misc[b, dpp.M_ENDI]),
+                                    int(misc[b, dpp.M_ENDJ]), res)
             ab.graph.add_graph_alignment(params, q, [1] * len(q),
                                          res.cigar, None, r, True)
 
