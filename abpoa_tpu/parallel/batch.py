@@ -145,20 +145,42 @@ class BatchPOA:
         from ..ops import dp_pallas as dpp
         from ..ops import bt_xla
         params = self.params
+        from ..params import LINEAR_GAP, CONVEX_GAP
         WB = max(pick_WB(params, dg.qlen, dg.pn) for dg in dgs)
         Wq = max((dg.qlen // 128 + 1) * 128 for dg in dgs)
         LMAX = ((dgs[0].R + Wq) + 511) // 512 * 512
+        R = dgs[0].R
+        # full-width kernel (dp_pallas_fw) when the planes fit VMEM;
+        # otherwise the banded-tile kernel
+        nplanes = {LINEAR_GAP: 1, CONVEX_GAP: 5}.get(params.gap_mode, 3)
+        G = 0
+        for g in (4, 2, 1):
+            if nplanes * g * R * Wq * 4 <= 100 * 1024 * 1024:
+                G = g
+                break
+        use_fw = G > 0
         cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=Wq,
                                               bt_lmax=LMAX)
                            for dg in dgs))
         cfg = cfgs[0]
         assert all(c == cfg for c in cfgs)
-        stacked = tuple(jnp.asarray(np.stack([a[i] for a in arrs]))
-                        for i in range(len(arrs[0])))
+        nb = len(dgs)
+        pad = (-nb) % G if use_fw else 0
+        stacked = tuple(jnp.asarray(np.stack(
+            [a[i] for a in arrs] + [arrs[0][i]] * pad))
+            for i in range(len(arrs[0])))
         t0 = time.perf_counter()
-        out = dpp.pallas_poa_dp_batch(cfg, *stacked)
-        misc = np.asarray(out.misc)      # sync point
-        steps = np.asarray(out.steps)
+        if use_fw:
+            from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
+            fwc = FWConfig(gap_mode=cfg.gap_mode, align_mode=cfg.align_mode,
+                           pn=cfg.pn, R=R, Wq=Wq, P=cfg.P, O=cfg.O,
+                           m=cfg.m, use_zdrop=cfg.use_zdrop,
+                           bt_lmax=LMAX, G=G)
+            out = fw_poa_dp_batch(fwc, *stacked)
+        else:
+            out = dpp.pallas_poa_dp_batch(cfg, *stacked)
+        misc = np.asarray(out.misc)[:nb]     # sync point
+        steps = np.asarray(out.steps)[:nb]
         self.dp_seconds += time.perf_counter() - t0
         self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
 
