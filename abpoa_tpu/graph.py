@@ -51,6 +51,10 @@ class POAGraph:
         self.is_called_cons = False
         self.is_set_msa_rank = False
         self._csr = None  # flat adjacency cache (see build_csr)
+        # incremental CSR delta log: new edges / weight bumps / aligned
+        # pairs appended since the cache was built (None = log invalid,
+        # full rebuild needed)
+        self._log = []
         # index maps (filled by topological_sort)
         self.index_to_node_id: np.ndarray | None = None
         self.node_id_to_index: np.ndarray | None = None
@@ -69,6 +73,8 @@ class POAGraph:
         self.node = [Node(), Node()]
         self.is_topological_sorted = self.is_called_cons = False
         self.is_set_msa_rank = False
+        self._csr = None
+        self._log = []
 
     def add_node(self, base: int) -> int:
         """ref abpoa_add_graph_node (src/abpoa_graph.c:409-416)."""
@@ -79,12 +85,15 @@ class POAGraph:
                  add_read_id: bool, add_read_weight: bool, read_id: int):
         """ref abpoa_add_graph_edge (src/abpoa_graph.c:418-484)."""
         fnode = self.node[from_id]
+        log = self._log
         out_edge_i = -1
         if check_edge:
             for i, oid in enumerate(fnode.out_id):
                 if oid == to_id:
                     fnode.out_weight[i] += w
                     out_edge_i = i
+                    if log is not None:
+                        log.append((1, from_id, i, w))
                     break
         if out_edge_i < 0:
             self.node[to_id].in_id.append(from_id)
@@ -92,6 +101,8 @@ class POAGraph:
             fnode.out_weight.append(w)
             fnode.read_ids.append(0)
             out_edge_i = len(fnode.out_id) - 1
+            if log is not None:
+                log.append((0, from_id, to_id, w))
         if add_read_id:
             fnode.read_ids[out_edge_i] |= (1 << read_id)
         fnode.n_read += 1
@@ -207,38 +218,116 @@ class POAGraph:
                                     inc_both_ends)
 
     # ------------------------------------------------------------------ #
-    def build_csr(self):
-        """Flat CSR adjacency snapshot (node-id space) for the native host
-        kernels and the device exporter. Valid until the next mutation
-        (callers gate on is_topological_sorted)."""
+    def _build_csr_full(self):
         node = self.node
         n = len(node)
         out_cnt = np.fromiter((len(nd.out_id) for nd in node), np.int32, n)
         in_cnt = np.fromiter((len(nd.in_id) for nd in node), np.int32, n)
-        al_cnt = np.fromiter((len(nd.aligned_node_id) for nd in node),
-                             np.int32, n)
         out_off = np.zeros(n + 1, np.int32)
         np.cumsum(out_cnt, out=out_off[1:])
         in_off = np.zeros(n + 1, np.int32)
         np.cumsum(in_cnt, out=in_off[1:])
-        al_off = np.zeros(n + 1, np.int32)
-        np.cumsum(al_cnt, out=al_off[1:])
         out_flat = np.fromiter((x for nd in node for x in nd.out_id),
                                np.int32, int(out_off[-1]))
         out_w_flat = np.fromiter((x for nd in node for x in nd.out_weight),
                                  np.int32, int(out_off[-1]))
         in_flat = np.fromiter((x for nd in node for x in nd.in_id),
                               np.int32, int(in_off[-1]))
-        al_flat = np.fromiter((x for nd in node for x in nd.aligned_node_id),
-                              np.int32, int(al_off[-1]))
         bases = np.fromiter((nd.base for nd in node), np.int32, n)
-        self._csr = {
+        return {
             "n": n, "out_flat": out_flat, "out_off": out_off,
             "out_w_flat": out_w_flat, "in_flat": in_flat, "in_off": in_off,
-            "in_cnt": in_cnt, "out_cnt": out_cnt,
-            "al_flat": al_flat, "al_off": al_off, "bases": bases,
+            "in_cnt": in_cnt, "out_cnt": out_cnt, "bases": bases,
         }
-        return self._csr
+
+    def build_csr(self):
+        """Flat CSR adjacency snapshot (node-id space) for the native host
+        kernels and the device exporter.
+
+        Maintained incrementally: add_edge logs new edges / weight bumps;
+        rebuilding scatters the previous snapshot to the new offsets
+        (vectorized) and replays only the O(changes) log. Aligned-node
+        lists are tiny and rebuilt every time."""
+        node = self.node
+        n = len(node)
+        c = self._csr
+        log = self._log
+        if c is None or log is None:
+            c = self._build_csr_full()
+            self._log = []
+        elif log or c["n"] != n:
+            n0 = c["n"]
+            out_cnt = np.zeros(n, np.int32)
+            out_cnt[:n0] = c["out_cnt"]
+            in_cnt = np.zeros(n, np.int32)
+            in_cnt[:n0] = c["in_cnt"]
+            for k, a, b, w in log:
+                if k == 0:
+                    out_cnt[a] += 1
+                    in_cnt[b] += 1
+            out_off = np.zeros(n + 1, np.int32)
+            np.cumsum(out_cnt, out=out_off[1:])
+            in_off = np.zeros(n + 1, np.int32)
+            np.cumsum(in_cnt, out=in_off[1:])
+            out_flat = np.empty(int(out_off[-1]), np.int32)
+            out_w_flat = np.empty(int(out_off[-1]), np.int32)
+            in_flat = np.empty(int(in_off[-1]), np.int32)
+            # scatter the old snapshot to its new positions
+            if int(c["out_off"][-1]):
+                nodes_of = np.repeat(np.arange(n0, dtype=np.int64),
+                                     c["out_cnt"])
+                pos = (out_off[:-1][nodes_of]
+                       + np.arange(len(nodes_of))
+                       - c["out_off"][:-1][nodes_of])
+                out_flat[pos] = c["out_flat"]
+                out_w_flat[pos] = c["out_w_flat"]
+            if int(c["in_off"][-1]):
+                nodes_of = np.repeat(np.arange(n0, dtype=np.int64),
+                                     c["in_cnt"])
+                pos = (in_off[:-1][nodes_of]
+                       + np.arange(len(nodes_of))
+                       - c["in_off"][:-1][nodes_of])
+                in_flat[pos] = c["in_flat"]
+            # replay the log in order (appends keep per-node list order)
+            out_fill = out_off[:-1] + np.where(
+                np.arange(n) < n0,
+                np.concatenate((c["out_cnt"], np.zeros(n - n0, np.int32))),
+                0).astype(np.int32)
+            in_fill = in_off[:-1] + np.where(
+                np.arange(n) < n0,
+                np.concatenate((c["in_cnt"], np.zeros(n - n0, np.int32))),
+                0).astype(np.int32)
+            for k, a, b, w in log:
+                if k == 0:
+                    out_flat[out_fill[a]] = b
+                    out_w_flat[out_fill[a]] = w
+                    out_fill[a] += 1
+                    in_flat[in_fill[b]] = a
+                    in_fill[b] += 1
+                else:
+                    out_w_flat[out_off[a] + b] += w
+            bases = np.empty(n, np.int32)
+            bases[:n0] = c["bases"]
+            for i in range(n0, n):
+                bases[i] = node[i].base
+            c = {
+                "n": n, "out_flat": out_flat, "out_off": out_off,
+                "out_w_flat": out_w_flat, "in_flat": in_flat,
+                "in_off": in_off, "in_cnt": in_cnt, "out_cnt": out_cnt,
+                "bases": bases,
+            }
+            self._log = []
+        # aligned lists: always rebuilt (a handful of entries)
+        al_cnt = np.fromiter((len(nd.aligned_node_id) for nd in node),
+                             np.int32, n)
+        al_off = np.zeros(n + 1, np.int32)
+        np.cumsum(al_cnt, out=al_off[1:])
+        c["al_flat"] = np.fromiter(
+            (x for nd in node for x in nd.aligned_node_id), np.int32,
+            int(al_off[-1]))
+        c["al_off"] = al_off
+        self._csr = c
+        return c
 
     def _bfs_set_node_index(self):
         """Kahn BFS keeping aligned nodes adjacent.
