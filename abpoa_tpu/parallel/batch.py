@@ -128,7 +128,6 @@ class BatchPOA:
             return "xla"
         if (self.params.wb < 0
                 or self.params.align_mode not in (GLOBAL_MODE, EXTEND_MODE)
-                or self.mesh is not None
                 or jax.default_backend() not in ("tpu", "axon")):
             return "xla"
         return "pallas"
@@ -165,7 +164,10 @@ class BatchPOA:
         cfg = cfgs[0]
         assert all(c == cfg for c in cfgs)
         nb = len(dgs)
-        pad = (-nb) % G if use_fw else 0
+        ndev = int(np.prod(list(self.mesh.shape.values()))) \
+            if self.mesh is not None else 1
+        chunk = (G if use_fw else 1) * ndev
+        pad = (-nb) % chunk
         stacked = tuple(jnp.asarray(np.stack(
             [a[i] for a in arrs] + [arrs[0][i]] * pad))
             for i in range(len(arrs[0])))
@@ -176,9 +178,21 @@ class BatchPOA:
                            pn=cfg.pn, R=R, Wq=Wq, P=cfg.P, O=cfg.O,
                            m=cfg.m, use_zdrop=cfg.use_zdrop,
                            bt_lmax=LMAX, G=G)
-            out = fw_poa_dp_batch(fwc, *stacked)
+            kern_fn = lambda *a: fw_poa_dp_batch(fwc, *a)  # noqa: E731
         else:
-            out = dpp.pallas_poa_dp_batch(cfg, *stacked)
+            kern_fn = lambda *a: dpp.pallas_poa_dp_batch(cfg, *a)  # noqa
+        if self.mesh is not None:
+            # pure data parallelism: independent instances shard over the
+            # batch axis; each device runs the kernel on its shard
+            import jax
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            kern_fn = jax.jit(shard_map(
+                kern_fn, mesh=self.mesh,
+                in_specs=tuple(P(self.batch_axis)
+                               for _ in range(len(stacked))),
+                out_specs=P(self.batch_axis), check_rep=False))
+        out = kern_fn(*stacked)
         misc = np.asarray(out.misc)[:nb]     # sync point
         steps = np.asarray(out.steps)[:nb]
         self.dp_seconds += time.perf_counter() - t0
