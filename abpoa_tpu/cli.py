@@ -205,8 +205,18 @@ def main(argv=None) -> int:
                     ab.msa_from_file(params, fn, out=out)
     else:
         ab.msa_from_file(params, pos[0], out=out)
-    print(f"[abpoa_tpu] Real time: {time.time()-t0:.3f} sec.",
-          file=sys.stderr)
+    # end-of-run telemetry line (ref src/abpoa.c:146, src/utils.c:339-371)
+    try:
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        cpu = ru.ru_utime + ru.ru_stime
+        rss_gb = ru.ru_maxrss / (1024.0 * 1024.0)
+        print(f"[abpoa_tpu] Real time: {time.time()-t0:.3f} sec; "
+              f"CPU: {cpu:.3f} sec; Peak RSS: {rss_gb:.3f} GB.",
+              file=sys.stderr)
+    except Exception:
+        print(f"[abpoa_tpu] Real time: {time.time()-t0:.3f} sec.",
+              file=sys.stderr)
     if out is not sys.stdout:
         out.close()
     return 0

@@ -49,11 +49,12 @@ class BatchPOA:
     """
 
     def __init__(self, params: Params, mesh=None, batch_axis: str = "data",
-                 engine: str = "pallas"):
+                 engine: str = "pallas", pipeline: bool = True):
         self.params = params
         self.mesh = mesh
         self.batch_axis = batch_axis
         self.engine = engine       # "pallas" (device DP+backtrack) or "xla"
+        self.pipeline = pipeline   # overlap host fusion with device rounds
         self.dp_cells = 0          # aggregate band cells computed on device
         self.dp_seconds = 0.0      # device wall time of DP calls
         self.bt_seconds = 0.0      # device wall time of backtrack calls
@@ -84,6 +85,10 @@ class BatchPOA:
             ab.n_seq = len(reads)
             ab.names = [""] * len(reads)
             ab.is_rc = [0] * len(reads)
+        if (self._effective_engine() == "pallas" and len(instances) >= 4
+                and self.pipeline):
+            self._run_pipelined(abs_, instances)
+            return abs_
         n_rounds = max((len(r) for r in instances), default=0)
         for r in range(n_rounds):
             live = [k for k, reads in enumerate(instances) if r < len(reads)]
@@ -120,6 +125,63 @@ class BatchPOA:
             self.rounds += 1
         return abs_
 
+    def _run_pipelined(self, abs_, instances):
+        """Two-shard software pipeline: while shard A's kernel runs on the
+        device, the host fuses shard B's previous results and prepares B's
+        next round (device dispatch is async; only the result fetch in
+        _pallas_collect blocks). Ideal cost per round: max(host, device)
+        instead of host + device."""
+        params = self.params
+        n = len(instances)
+        shards = [list(range(0, n, 2)), list(range(1, n, 2))]
+        rounds = [0, 0]
+        n_rounds = [max((len(instances[k]) for k in s), default=0)
+                    for s in shards]
+        pending = [None, None]
+
+        def prep_and_dispatch(s):
+            r = rounds[s]
+            live = [k for k in shards[s] if r < len(instances[k])]
+            todo = []
+            for k in live:
+                ab, q = abs_[k], instances[k][r]
+                if ab.graph.node_n <= 2:
+                    ab.graph.add_graph_alignment(params, q, [1] * len(q),
+                                                 [], None, r, True)
+                else:
+                    if not ab.graph.is_topological_sorted:
+                        ab.graph.topological_sort(params)
+                    todo.append(k)
+            rounds[s] += 1
+            if not todo:
+                return []
+            nat = {k: export_dense(abs_[k].graph, params, instances[k][r])
+                   for k in todo}
+            R = max(d.R for d in nat.values())
+            W = max(d.W for d in nat.values())
+            P_ = max(d.P for d in nat.values())
+            O_ = max(d.O for d in nat.values())
+            pends = []
+            for pn in sorted({d.pn for d in nat.values()}):
+                group = [k for k in todo if nat[k].pn == pn]
+                dgs = [repad_dense(nat[k], R, W, P_, O_) for k in group]
+                pends.append(self._pallas_dispatch(abs_, group, dgs, r,
+                                                   instances))
+            return pends
+
+        while (rounds[0] < n_rounds[0] or rounds[1] < n_rounds[1]
+               or pending[0] or pending[1]):
+            for s in (0, 1):
+                o = 1 - s
+                if pending[s] is None and rounds[s] < n_rounds[s]:
+                    pending[s] = prep_and_dispatch(s)
+                    self.rounds += 1
+                if pending[o]:
+                    for pend in pending[o]:
+                        self._pallas_collect(pend)
+                if pending[o] is not None:
+                    pending[o] = None
+
     def _effective_engine(self) -> str:
         """Pallas needs a real TPU backend, banding, and global/extend."""
         import jax
@@ -134,15 +196,18 @@ class BatchPOA:
 
     # -------------------------------------------------------------- #
     def _round_pallas(self, abs_, group, dgs, r, instances):
-        """One round on the device-resident path: Pallas banded DP +
-        device backtrack; only packed cigar steps cross the host link."""
+        pend = self._pallas_dispatch(abs_, group, dgs, r, instances)
+        self._pallas_collect(pend)
+
+    def _pallas_dispatch(self, abs_, group, dgs, r, instances):
+        """Enqueue one round's device work (DP + in-kernel backtrack) and
+        return a pending handle; no device sync happens here, so the host
+        can overlap other instances' fusion with this kernel's execution."""
         import time
         import jax
         import jax.numpy as jnp
         from ..align.engine_jax import make_pallas_inputs, pick_WB
-        from ..align.engine_np import align_sequence_to_subgraph
         from ..ops import dp_pallas as dpp
-        from ..ops import bt_xla
         params = self.params
         from ..params import LINEAR_GAP, CONVEX_GAP
         WB = max(pick_WB(params, dg.qlen, dg.pn) for dg in dgs)
@@ -193,13 +258,26 @@ class BatchPOA:
                                for _ in range(len(stacked))),
                 out_specs=P(self.batch_axis), check_rep=False))
         out = kern_fn(*stacked)
-        misc = np.asarray(out.misc)[:nb]     # sync point
-        steps = np.asarray(out.steps)[:nb]
-        self.dp_seconds += time.perf_counter() - t0
-        self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
+        return dict(out=out, nb=nb, abs_=abs_, group=group, r=r,
+                    instances=instances, t0=t0)
 
-        from ..align.engine_np import AlignResult
+    def _pallas_collect(self, pend):
+        """Fetch a dispatched round's results and fuse them (host work)."""
+        import time
+        from ..align.engine_np import AlignResult, align_sequence_to_subgraph
+        from ..ops import dp_pallas as dpp
+        from ..ops import bt_xla
         from ..params import SRC_NODE_ID, SINK_NODE_ID
+        params = self.params
+        import jax
+        out, nb = pend["out"], pend["nb"]
+        abs_, group, r = pend["abs_"], pend["group"], pend["r"]
+        instances = pend["instances"]
+        misc, steps = jax.device_get((out.misc, out.steps))  # sync point
+        misc = misc[:nb]
+        steps = steps[:nb]
+        self.dp_seconds += time.perf_counter() - pend["t0"]
+        self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
         for b, k in enumerate(group):
             ab = abs_[k]
             q = instances[k][r]

@@ -86,7 +86,9 @@ def main():
     assert all(c == cons[0] for c in cons)
 
     cells_per_instance = bp.dp_cells // N_INSTANCES
-    value = bp.dp_cells / bp.dp_seconds
+    # aggregate end-to-end rate: same accounting as the reference side
+    # (cells divided by total wall time including host graph work)
+    value = bp.dp_cells / e2e
     ref_rate = _reference_cells_per_s(FIXTURE, cells_per_instance)
     out = {
         "metric": "dp_cells_per_s",
