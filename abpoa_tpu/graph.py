@@ -165,13 +165,15 @@ class POAGraph:
         query_id = -1
         last_new = False
         last_id = beg_node_id
+        node = self.node
+        rbit = 1 << read_id
         for entry in cigar:
             op = entry[0]
             if op == CMATCH:
                 node_id = entry[1]
                 query_id += 1
                 add = bool(last_id != beg_node_id or inc_both_ends)
-                if self.node[node_id].base != seq[query_id]:  # mismatch
+                if node[node_id].base != seq[query_id]:  # mismatch
                     aligned_id = self.get_aligned_id(node_id, int(seq[query_id]))
                     if aligned_id != -1:
                         self.add_edge(last_id, aligned_id, not last_new,
@@ -185,10 +187,31 @@ class POAGraph:
                                       add_read_weight, read_id)
                         self.add_aligned_node(node_id, new_id)
                         last_id = new_id; last_new = True
-                else:  # match
-                    self.add_edge(last_id, node_id, not last_new,
-                                  int(weight[query_id]), add_read_id and add,
-                                  add_read_weight, read_id)
+                else:  # match: inlined add_edge fast path (the dominant op)
+                    w = int(weight[query_id])
+                    fnode = node[last_id]
+                    out_edge_i = -1
+                    if not last_new:
+                        for i, oid in enumerate(fnode.out_id):
+                            if oid == node_id:
+                                fnode.out_weight[i] += w
+                                out_edge_i = i
+                                if self._log is not None:
+                                    self._log.append((1, last_id, i, w))
+                                break
+                    if out_edge_i < 0:
+                        node[node_id].in_id.append(last_id)
+                        fnode.out_id.append(node_id)
+                        fnode.out_weight.append(w)
+                        fnode.read_ids.append(0)
+                        out_edge_i = len(fnode.out_id) - 1
+                        if self._log is not None:
+                            self._log.append((0, last_id, node_id, w))
+                    if add_read_id and add:
+                        fnode.read_ids[out_edge_i] |= rbit
+                    fnode.n_read += 1
+                    if add_read_weight:
+                        fnode.read_weight[read_id] = w
                     last_id = node_id; last_new = False
                 if qpos_to_node_id is not None:
                     qpos_to_node_id[query_id] = last_id

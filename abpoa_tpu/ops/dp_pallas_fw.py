@@ -353,41 +353,36 @@ def make_fw_kernel(cfg: FWConfig):
                 F2b[:, t, :] = jnp.where(actc, f2row, F2b[:, t, :])
 
             # --- row max with reference tie-breaks (port of dp_xla) ---
+            # per-lane winner over band segments with reference tie-breaks:
+            # lexicographic max over (value, -prio); prio and the winning
+            # segment pack into one aux word (prio is unique per segment,
+            # so ordering by prio-major never consults wseg)
             lseg_rel = seg - begc
             n_segc = endc - begc + 1
             v = jnp.where(band & (l <= qlenc), hrow, infc)
             prio = jnp.where(lseg_rel == n_segc - 1, -1, lseg_rel)
-            wseg = lseg_rel
+            aux = prio * 1024 + lseg_rel          # minimize aux-major
             SBmax = Wq // pn
             for k in range(_log2(SBmax)):
                 d = pn << k
                 ok = l < (Wq - d)
                 vb = pltpu.roll(v, Wq - d, 1)
-                pb = pltpu.roll(prio, Wq - d, 1)
-                sb_ = pltpu.roll(wseg, Wq - d, 1)
-                take = ((vb > v) | ((vb == v) & (pb < prio))) & ok
+                ab_ = pltpu.roll(aux, Wq - d, 1)
+                take = ((vb > v) | ((vb == v) & (ab_ < aux))) & ok
                 v = jnp.where(take, vb, v)
-                prio = jnp.where(take, pb, prio)
-                wseg = jnp.where(take, sb_, wseg)
-            # per-lane winners now live at seg(begc); shift them to lane 0
-            # block? They fold toward lower lanes: after the fold, lanes
-            # [begc*pn, begc*pn+pn) hold per-lane winners... the fold used
-            # relative prios but absolute positions; winners accumulate at
-            # every lane from lanes above, so the block at the band start
-            # holds the full reduction. Select it per instance.
+                aux = jnp.where(take, ab_, aux)
+            # winners accumulate toward lower lanes: the pn-lane block at
+            # the band start holds the full reduction per lane
             lane_in_first = (l >= lo) & (l < lo + pn)
             gmax = jnp.max(jnp.where(lane_in_first, v, NEG), axis=1,
                            keepdims=True)
             lane_pick = jnp.min(jnp.where(lane_in_first & (v == gmax),
                                           l - lo, 1 << 30), axis=1,
                                 keepdims=True)
-            wseg_pick = jnp.sum(jnp.where(l - lo == lane_pick, wseg, 0),
-                                axis=1, keepdims=True)
-            maxi_c = jnp.where(gmax > infc,
-                               lo + (begc + wseg_pick) * 0
-                               + wseg_pick * pn + lane_pick + begc * pn
-                               - lo, -1)
-            # simplify: absolute col = (begc + wseg_pick)*pn + lane_pick
+            aux_pick = jnp.sum(jnp.where(l - lo == lane_pick, aux, 0),
+                               axis=1, keepdims=True)
+            wseg_pick = aux_pick - (aux_pick // 1024) * 1024
+            # absolute col = (begc + wseg_pick)*pn + lane_pick
             maxi_c = jnp.where(gmax > infc,
                                (begc + wseg_pick) * pn + lane_pick,
                                -1)
