@@ -128,6 +128,10 @@ def make_fw_kernel(cfg: FWConfig):
         qlenc = col(1)
         dpsnc = col(2)
 
+        max_nr = n_rowss[0]
+        for g in range(1, G):
+            max_nr = jnp.maximum(max_nr, n_rowss[g])
+
         def copy_state(t, _):
             for g in range(G):
                 mpl_o[0, g, t] = mpl0[0, g, t]
@@ -135,7 +139,9 @@ def make_fw_kernel(cfg: FWConfig):
                 begsn_o[0, g, t] = 0
                 endsn_o[0, g, t] = 0
             return 0
-        jax.lax.fori_loop(0, R, copy_state, 0)
+        # rows beyond every instance's n_rows are never read: bound the
+        # init and the sweep by the group's actual max row count
+        jax.lax.fori_loop(0, max_nr, copy_state, 0)
 
         def ad_bounds(g, t):
             rem = remain[0, g, t] - rem_ends[g] - 1
@@ -437,7 +443,7 @@ def make_fw_kernel(cfg: FWConfig):
                 tuple(jnp.bool_(False) for _ in range(G)),
                 tuple(jnp.int32(0) for _ in range(G)))
         bss, bis, bjs, brems, stops, cells = jax.lax.fori_loop(
-            1, R - 1, body, init)
+            1, jnp.minimum(max_nr - 1, R - 1), body, init)
         bss, bis, bjs = list(bss), list(bis), list(bjs)
 
         iq = jax.lax.broadcasted_iota(jnp.int32, (1, Wq), 1)

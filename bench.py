@@ -79,11 +79,16 @@ def main():
     # warmup: compile every (shape-bucket) program at the bench batch size
     BatchPOA(Params().post_set()).run_consensus(instances)
 
-    bp = BatchPOA(params)
-    t0 = time.perf_counter()
-    cons = bp.run_consensus(instances)
-    e2e = time.perf_counter() - t0
-    assert all(c == cons[0] for c in cons)
+    # median of 3 reps (the host VM is shared; wall noise is real)
+    reps = []
+    for _ in range(3):
+        bp = BatchPOA(Params().post_set())
+        t0 = time.perf_counter()
+        cons = bp.run_consensus(instances)
+        reps.append((time.perf_counter() - t0, bp))
+        assert all(c == cons[0] for c in cons)
+    reps.sort(key=lambda x: x[0])
+    e2e, bp = reps[1]
 
     cells_per_instance = bp.dp_cells // N_INSTANCES
     # aggregate end-to-end rate: same accounting as the reference side
