@@ -72,18 +72,42 @@ class DenseGraph:
     W: int
     P: int
     O: int
+    beg_index: int = 0       # subgraph: dp row 0 = this topo index
+    rowmask: np.ndarray | None = None  # subgraph reachability (None = all)
+
+
+def subgraph_index_map(graph, beg_index: int, end_index: int) -> np.ndarray:
+    """Reachability mask within the subgraph interval
+    (ref simd_abpoa_align_sequence_to_subgraph :1650-1660)."""
+    n2i = graph.node_id_to_index
+    index_map = np.zeros(graph.node_n, dtype=bool)
+    index_map[beg_index] = index_map[end_index] = True
+    for i in range(beg_index, end_index - 1):
+        if not index_map[i]:
+            continue
+        nid = int(graph.index_to_node_id[i])
+        for out_id in graph.node[nid].out_id:
+            index_map[int(n2i[out_id])] = True
+    return index_map
 
 
 def export_dense(graph, params, query, min_R=64, min_W=256,
                  force_R=None, force_W=None, force_P=None,
-                 force_O=None) -> DenseGraph:
+                 force_O=None, beg_index=0, end_index=None,
+                 index_map=None) -> DenseGraph:
     """Flatten the DAG (in topo index order) into padded arrays.
 
     force_* pin the padded capacities so a batch of instances shares one
     static kernel shape (parallel/batch.py re-pads a round's group to its
-    common maximum).
+    common maximum). beg_index/end_index/index_map restrict the export to a
+    subgraph interval (anchored/windowed POA): dp row t = topo index
+    beg_index+t; adjacency is filtered by the reachability map exactly like
+    the oracle's pre_index (engine_np :177-184).
     """
-    n = graph.node_n
+    full = end_index is None
+    if full:
+        end_index = graph.node_n - 1
+    n = end_index - beg_index + 1
     qlen = len(query)
     pn, inf_min = score_dispatch(params, n, qlen)
     i2n = graph.index_to_node_id
@@ -94,9 +118,62 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     banded = params.wb >= 0
 
     node = graph.node
-    ids = np.asarray(i2n[:n], dtype=np.int64)
+    ids = np.asarray(i2n[beg_index:end_index + 1], dtype=np.int64)
     bases = np.zeros(R, dtype=np.int32)
     csr = getattr(graph, "_csr", None)
+    if not full:
+        # subgraph export: filtered adjacency, plain python path
+        if index_map is None:
+            index_map = subgraph_index_map(graph, beg_index, end_index)
+        rowmask = np.zeros(R, dtype=np.int32)
+        rowmask[:n] = index_map[beg_index:end_index + 1]
+        in_lists = []
+        out_lists_ = []
+        for t, nid in enumerate(ids):
+            nd = node[int(nid)]
+            bases[t] = nd.base
+            if index_map[beg_index + t]:
+                in_lists.append([int(n2i[x]) - beg_index for x in nd.in_id
+                                 if index_map[int(n2i[x])]
+                                 and beg_index <= int(n2i[x]) <= end_index])
+                out_lists_.append([int(n2i[x]) - beg_index
+                                   for x in nd.out_id
+                                   if beg_index <= int(n2i[x]) <= end_index])
+            else:
+                in_lists.append([])
+                out_lists_.append([])
+        pre_cnt = np.fromiter(map(len, in_lists), dtype=np.int32, count=n)
+        out_cnt = np.fromiter(map(len, out_lists_), dtype=np.int32,
+                              count=n)
+        P = force_P if force_P else _bucket(
+            max(int(pre_cnt.max(initial=1)), 1), 2)
+        O = force_O if force_O else _bucket(
+            max(int(out_cnt.max(initial=1)), 1), 2)
+        pre_idx = np.zeros((R, P), dtype=np.int32)
+        pre_n = np.zeros(R, dtype=np.int32)
+        out_idx = np.zeros((R, O), dtype=np.int32)
+        out_n = np.zeros(R, dtype=np.int32)
+        pre_n[:n] = pre_cnt
+        out_n[:n] = out_cnt
+        for t in range(n):
+            pre_idx[t, :pre_cnt[t]] = in_lists[t]
+            out_idx[t, :out_cnt[t]] = out_lists_[t]
+        remain = np.zeros(R, dtype=np.int32)
+        mpl = np.zeros(R, dtype=np.int32)
+        mpr = np.zeros(R, dtype=np.int32)
+        if graph.node_id_to_max_remain is not None:
+            remain[:n] = graph.node_id_to_max_remain[ids]
+        if banded:
+            mpl[:n] = graph.node_id_to_max_pos_left[ids]
+            mpr[:n] = graph.node_id_to_max_pos_right[ids]
+        qcol = np.zeros(W, dtype=np.int32)
+        qcol[1:qlen + 1] = np.asarray(query, dtype=np.int32)
+        dg = DenseGraph(n, qlen, pn, inf_min, bases, pre_idx, pre_n,
+                        out_idx, out_n, remain, mpl, mpr, qcol,
+                        [list(x) for x in in_lists], R, W, P, O)
+        dg.beg_index = beg_index
+        dg.rowmask = rowmask
+        return dg
     if (csr is not None and graph.is_topological_sorted
             and csr["n"] == n):
         # reuse the flat adjacency snapshot built by topological_sort
@@ -294,12 +371,17 @@ def make_pallas_inputs(dg: DenseGraph, params, WB: int, force_Wq=None,
         gap_mode=params.gap_mode, align_mode=params.align_mode,
         pn=dg.pn, R=dg.R, WB=WB, Wq=Wq, P=dg.P, O=dg.O, m=m,
         use_zdrop=params.zdrop > 0, bt_lmax=bt_lmax)
+    if dg.rowmask is not None:
+        rowmask = dg.rowmask.astype(np.int8)
+    else:
+        rowmask = np.ones(dg.R, dtype=np.int8)
     return cfg, (scal, dg.bases.astype(np.int8),
                  dg.pre_idx.reshape(-1).astype(narrow),
                  dg.pre_n.astype(np.int8),
                  dg.out_idx.reshape(-1).astype(narrow),
                  dg.out_n.astype(np.int8), dg.remain.astype(narrow),
-                 qcodes, dg.mpl.astype(narrow), dg.mpr.astype(narrow))
+                 qcodes, dg.mpl.astype(narrow), dg.mpr.astype(narrow),
+                 rowmask)
 
 
 def pick_WB(params, qlen: int, pn: int) -> int:
@@ -344,6 +426,56 @@ def align_sequence_to_graph_pallas(graph, params, query,
                                   F2, dp_beg, dp_end,
                                   int(misc[dpp.M_BEST]),
                                   int(misc[dpp.M_BI]), int(misc[dpp.M_BJ]))
+
+
+def align_sequence_to_subgraph_device(graph, params, beg_node_id,
+                                      end_node_id, query) -> AlignResult:
+    """Device path for a subgraph window (anchored POA): full-width
+    kernel with a row reachability mask; falls back to the host oracle on
+    unsupported modes or backtrack dead ends."""
+    import jax.numpy as jnp
+    from ..ops import dp_pallas as dpp
+    from ..ops import bt_xla
+    from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
+    from .engine_np import align_sequence_to_subgraph as oracle_sub
+    import jax
+    if (params.wb < 0
+            or params.align_mode not in (GLOBAL_MODE, EXTEND_MODE)
+            or jax.default_backend() not in ("tpu", "axon")):
+        return oracle_sub(graph, params, beg_node_id, end_node_id, query)
+    beg_index = int(graph.node_id_to_index[beg_node_id])
+    end_index = int(graph.node_id_to_index[end_node_id])
+    dg = export_dense(graph, params, query, beg_index=beg_index,
+                      end_index=end_index)
+    Wq = (dg.qlen // 128 + 1) * 128
+    lmax = ((dg.R + Wq) + 511) // 512 * 512 if params.ret_cigar else 0
+    cfg, arrs = make_pallas_inputs(dg, params, 128, force_Wq=Wq,
+                                   bt_lmax=lmax)
+    fwc = FWConfig(gap_mode=cfg.gap_mode, align_mode=cfg.align_mode,
+                   pn=cfg.pn, R=cfg.R, Wq=Wq, P=cfg.P, O=cfg.O, m=cfg.m,
+                   use_zdrop=cfg.use_zdrop, bt_lmax=lmax, G=1)
+    batched = tuple(jnp.asarray(a)[None] for a in arrs)
+    out = fw_poa_dp_batch(fwc, *batched)
+    misc = np.asarray(out.misc)[0]
+    if params.ret_cigar and misc[dpp.M_FAIL]:
+        return oracle_sub(graph, params, beg_node_id, end_node_id, query)
+    n = dg.n_rows
+    if params.wb >= 0:
+        ids = np.asarray(graph.index_to_node_id[beg_index:beg_index + n],
+                         dtype=np.int64)
+        graph.node_id_to_max_pos_left[ids] = np.asarray(out.mpl)[0][:n]
+        graph.node_id_to_max_pos_right[ids] = np.asarray(out.mpr)[0][:n]
+    res = AlignResult()
+    res.best_score = int(misc[dpp.M_BEST])
+    if not params.ret_cigar:
+        return res
+    return bt_xla.replay_steps(graph, params, np.asarray(query),
+                               np.asarray(out.steps)[0],
+                               int(misc[dpp.M_NSTEPS]),
+                               int(misc[dpp.M_BI]), int(misc[dpp.M_BJ]),
+                               int(misc[dpp.M_ENDI]),
+                               int(misc[dpp.M_ENDJ]), res,
+                               row0=beg_index)
 
 
 def align_sequence_to_graph_device(graph, params, query) -> AlignResult:

@@ -255,13 +255,14 @@ def backtrack_batch(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
 
 
 def replay_steps(graph, params, query, steps, n_steps, best_i, best_j,
-                 end_i, end_j, res):
+                 end_i, end_j, res, row0=0):
     """Host replay: packed device steps -> reference cigar list + res
     fields, vectorized (push_cigar merging applies only to runs of CINS —
-    M/X and D entries are appended one per step; ref abpoa_align.h:54-73)."""
+    M/X and D entries are appended one per step; ref abpoa_align.h:54-73).
+    row0: topo index of dp row 0 (subgraph windows)."""
     from ..cigar import CMATCH, CINS, CDEL
     qlen = len(query)
-    i2n = np.asarray(graph.index_to_node_id, dtype=np.int64)
+    i2n = np.asarray(graph.index_to_node_id, dtype=np.int64)[row0:]
     n = int(n_steps)
     enc = np.asarray(steps[:n])
     ops = enc & 0x3

@@ -632,10 +632,12 @@ class PallasDPOut(NamedTuple):
     steps: jax.Array   # [B, bt_lmax] packed op|row<<2|col<<14
 
 
-@partial(jax.jit, static_argnums=(0, 11))
+@partial(jax.jit, static_argnums=(0, 12))
 def pallas_poa_dp_batch(cfg: PallasDPConfig, scal, bases, pre_idx, pre_n,
                         out_idx, out_n, remain, qcodes_or_qp, mpl0, mpr0,
-                        interpret=False):
+                        rowmask=None, interpret=False):
+    # rowmask: accepted for API symmetry with the full-width kernel
+    # (subgraph windows); the banded kernel serves whole-graph only.
     """Batched banded DP. All array args carry a leading batch axis B.
     pre_idx: [B, R*P] flattened; out_idx: [B, R*O] flattened.
 

@@ -91,7 +91,7 @@ def make_fw_kernel(cfg: FWConfig):
         return gv
 
     def kernel(scal, bases, pre_idx, pre_n, out_idx, out_n, remain, qp,
-               mpl0, mpr0,
+               mpl0, mpr0, rowmask,
                begsn_o, endsn_o, mpl_o, mpr_o, misc_o, steps_o,
                Hb, E1b, E2b, F1b, F2b, colv, qasm, asmH, asmE1, asmE2):
         l = iota()
@@ -201,6 +201,7 @@ def make_fw_kernel(cfg: FWConfig):
             # carry: per-g tuples
             bss, bis, bjs, brems, stops, cells = carry
             actives = [(t <= n_rowss[g] - 2) & jnp.logical_not(stops[g])
+                       & (rowmask[0, g, t] > 0)
                        for g in range(G)]
 
             # --- per-g band + control scalars -> colv columns ---
@@ -644,9 +645,9 @@ def make_fw_kernel(cfg: FWConfig):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(0, 11))
+@partial(jax.jit, static_argnums=(0, 12))
 def fw_poa_dp_batch(cfg: FWConfig, scal, bases, pre_idx, pre_n,
-                    out_idx, out_n, remain, qcodes, mpl0, mpr0,
+                    out_idx, out_n, remain, qcodes, mpl0, mpr0, rowmask,
                     interpret=False):
     """Batched full-width DP+backtrack. B must be a multiple of cfg.G;
     arrays are [B, ...] (narrow dtypes fine) and get grouped [B/G, G, ...].
@@ -694,7 +695,7 @@ def fw_poa_dp_batch(cfg: FWConfig, scal, bases, pre_idx, pre_n,
                  smem(M_NMISC), smem(LS))
     in_specs = [smem(S_NSCAL), smem(R), smem(R * cfg.P), smem(R),
                 smem(R * cfg.O), smem(R), smem(R), vmem(cfg.m, cfg.Wq),
-                smem(R), smem(R)]
+                smem(R), smem(R), smem(R)]
     # DP planes are scratch: they never leave the kernel (the backtrack
     # runs in-kernel), so no HBM blocks and no pipeline double-buffering —
     # VMEM budget ~= 5*G*R*Wq*4B for convex, 3 planes affine, 1 linear.
@@ -724,7 +725,7 @@ def fw_poa_dp_batch(cfg: FWConfig, scal, bases, pre_idx, pre_n,
         interpret=interpret,
     )(grp(scal), grp(bases), grp(pre_idx), grp(pre_n), grp(out_idx),
       grp(out_n), grp(remain), grp(qp, cfg.m, cfg.Wq), grp(mpl0),
-      grp(mpr0))
+      grp(mpr0), grp(rowmask))
     (beg_sn, end_sn, mpl, mpr, misc, steps) = outs
     return FWOut(beg_sn.reshape(B, R), end_sn.reshape(B, R),
                  mpl.reshape(B, R), mpr.reshape(B, R),
