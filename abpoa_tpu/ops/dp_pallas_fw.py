@@ -225,10 +225,8 @@ def make_fw_kernel(cfg: FWConfig):
                 beg_sns.append(beg_sn)
                 end_sns.append(end_sn)
 
-                @pl.when(actives[g])
-                def _():
-                    begsn_o[0, g, t] = beg_sn
-                    endsn_o[0, g, t] = end_sn
+                begsn_o[0, g, t] = beg_sn
+                endsn_o[0, g, t] = end_sn
                 colv[g:g + 1, 4:5] = beg_sn.reshape(1, 1)
                 colv[g:g + 1, 5:6] = end_sn.reshape(1, 1)
                 base = bases[0, g, t]
@@ -345,19 +343,13 @@ def make_fw_kernel(cfg: FWConfig):
                 f1row = jnp.where(band, f1, 0)
                 f2row = jnp.where(band, f2, 0)
 
-            actc = col(9)
-            for g in range(G):
-                colv[g:g + 1, 9:10] = actives[g].astype(jnp.int32) \
-                    .reshape(1, 1)
-            actc = col(9) > 0
-            oldH = Hb[:, t, :]
-            Hb[:, t, :] = jnp.where(actc, hrow, oldH)
+            Hb[:, t, :] = hrow
             if gm != LINEAR_GAP:
-                E1b[:, t, :] = jnp.where(actc, e1row, E1b[:, t, :])
-                F1b[:, t, :] = jnp.where(actc, f1row, F1b[:, t, :])
+                E1b[:, t, :] = e1row
+                F1b[:, t, :] = f1row
             if gm == CONVEX_GAP:
-                E2b[:, t, :] = jnp.where(actc, e2row, E2b[:, t, :])
-                F2b[:, t, :] = jnp.where(actc, f2row, F2b[:, t, :])
+                E2b[:, t, :] = e2row
+                F2b[:, t, :] = f2row
 
             # --- row max with reference tie-breaks (port of dp_xla) ---
             # per-lane winner over band segments with reference tie-breaks:
@@ -416,18 +408,18 @@ def make_fw_kernel(cfg: FWConfig):
                                      brem)
                     stop_now = actives[g] & stop_now
 
-                @pl.when(actives[g] & jnp.logical_not(stop_now))
-                def _():
-                    out_i = mi + 1
-                    non = out_n[0, g, t]
-                    for o in range(cfg.O):
-                        @pl.when(o < non)
-                        def _():
-                            tgt = out_idx[0, g, t * cfg.O + o]
-                            mpr_o[0, g, tgt] = jnp.maximum(
-                                mpr_o[0, g, tgt], out_i)
-                            mpl_o[0, g, tgt] = jnp.minimum(
-                                mpl_o[0, g, tgt], out_i)
+                out_i = mi + 1
+                non = out_n[0, g, t]
+                do_scat = actives[g] & jnp.logical_not(stop_now)
+                for o in range(cfg.O):
+                    oko = do_scat & (o < non)
+                    tgt = out_idx[0, g, t * cfg.O + o]
+                    vmax_ = jnp.where(oko, out_i, NEG)
+                    vmin_ = jnp.where(oko, out_i, jnp.int32(1 << 29))
+                    mpr_o[0, g, tgt] = jnp.maximum(mpr_o[0, g, tgt],
+                                                   vmax_)
+                    mpl_o[0, g, tgt] = jnp.minimum(mpl_o[0, g, tgt],
+                                                   vmin_)
                 new_bss.append(bs)
                 new_bis.append(bi)
                 new_bjs.append(bj)
