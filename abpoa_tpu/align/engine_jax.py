@@ -260,7 +260,10 @@ def repad_dense(dg: DenseGraph, R: int, W: int, P: int, O: int) -> DenseGraph:
                       padv(dg.pre_n, R), padm(dg.out_idx, R, O),
                       padv(dg.out_n, R), padv(dg.remain, R),
                       padv(dg.mpl, R), padv(dg.mpr, R),
-                      padv(dg.qcol, W), dg.pre_index, R, W, P, O)
+                      padv(dg.qcol, W), dg.pre_index, R, W, P, O,
+                      dg.beg_index,
+                      padv(dg.rowmask, R) if dg.rowmask is not None
+                      else None)
 
 
 def _make_inputs(dg: DenseGraph, params):

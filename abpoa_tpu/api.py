@@ -64,7 +64,30 @@ class ABPOA:
 
     def anchor_poa(self, params: Params, seqs, weights, seq_lens, par_anchors,
                    par_c, read_id_map, exist_n_seq: int):
-        """anchored/windowed POA (ref abpoa_anchor_poa src/abpoa_align.c:192-299)."""
+        """anchored/windowed POA (ref abpoa_anchor_poa src/abpoa_align.c:192-299).
+
+        Drives the request generator with the dispatcher; the batched device
+        driver (parallel/batch.py run_seeded) drives the same generator, so
+        both paths share the exact host logic."""
+        gen = self.anchor_poa_requests(params, seqs, weights, seq_lens,
+                                       par_anchors, par_c, read_id_map,
+                                       exist_n_seq)
+        try:
+            req = next(gen)
+            while True:
+                beg_id, end_id, window = req
+                res = aln.align_sequence_to_subgraph(
+                    self.graph, params, beg_id, end_id, window,
+                    arena=self.arena)
+                req = gen.send(res)
+        except StopIteration:
+            pass
+
+    def anchor_poa_requests(self, params: Params, seqs, weights, seq_lens,
+                            par_anchors, par_c, read_id_map,
+                            exist_n_seq: int):
+        """Generator form of anchor_poa: yields (beg_id, end_id, window)
+        subgraph-align requests and receives AlignResult via send()."""
         from .params import SRC_NODE_ID, SINK_NODE_ID
         n_seq = len(seqs)
         max_len = max(seq_lens) if seq_lens else 0
@@ -115,9 +138,7 @@ class ABPOA:
                 end_tpos = ((a >> 32) & 0x7fffffff) - k + 1
                 end_id = tpos_to_node_id[end_tpos]
                 end_qpos = (a & 0xffffffff) - k + 1
-                res = aln.align_sequence_to_subgraph(
-                    self.graph, params, beg_id, end_id,
-                    qseq[beg_qpos:end_qpos], arena=self.arena)
+                res = yield (beg_id, end_id, qseq[beg_qpos:end_qpos])
                 if res is not None:
                     whole_cigar.extend(res.cigar)
                 # forced k-match cigar across the anchor (ref :267-269)
@@ -130,9 +151,7 @@ class ABPOA:
                 beg_id = tpos_to_node_id[end_tpos + k - 1]
                 beg_qpos = end_qpos + k
                 ai += 1
-            res = aln.align_sequence_to_subgraph(
-                self.graph, params, beg_id, SINK_NODE_ID,
-                qseq[beg_qpos:qlen], arena=self.arena)
+            res = yield (beg_id, SINK_NODE_ID, qseq[beg_qpos:qlen])
             if res is not None:
                 whole_cigar.extend(res.cigar)
             self.graph.add_subgraph_alignment(

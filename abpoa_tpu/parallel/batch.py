@@ -182,6 +182,158 @@ class BatchPOA:
                 if pending[o] is not None:
                     pending[o] = None
 
+    # -------------------------------------------------------------- #
+    def run_seeded(self, instances) -> list[ABPOA]:
+        """Batched seeded/progressive POA (the reference's -S/-p mode,
+        ref abpoa_anchor_poa src/abpoa_align.c:192-299): minimizer seeding,
+        guide tree and chaining run host-side per instance; the per-window
+        subgraph alignments batch across instances each round, driving the
+        same anchor_poa_requests generator as the sequential path."""
+        import jax.numpy as jnp
+        from ..seed import build_guide_tree_partition
+        from ..align.engine_jax import (export_dense, make_pallas_inputs,
+                                        subgraph_index_map)
+        from ..align.engine_np import (AlignResult,
+                                       align_sequence_to_subgraph)
+        from ..ops import dp_pallas as dpp
+        from ..ops import bt_xla
+        params = self.params
+        abs_ = [ABPOA() for _ in instances]
+        gens = []
+        reqs = {}
+        for k, reads in enumerate(instances):
+            ab = abs_[k]
+            n = len(reads)
+            ab.n_seq = n
+            ab.names = [""] * n
+            ab.is_rc = [0] * n
+            seq_lens = [len(q) for q in reads]
+            weights = [[1] * L for L in seq_lens]
+            rmap, par_anchors, par_c = build_guide_tree_partition(
+                reads, seq_lens, params)
+            gen = ab.anchor_poa_requests(params, reads, weights, seq_lens,
+                                         par_anchors, par_c, rmap, 0)
+            gens.append(gen)
+            try:
+                reqs[k] = next(gen)
+            except StopIteration:
+                pass
+        use_device = self._effective_engine() == "pallas"
+        while reqs:
+            batch = []      # (k, beg_id, end_id, window, dg)
+            host_only = []  # (k, req) handled by the oracle this round
+            for k in sorted(reqs):
+                beg_id, end_id, window = reqs[k]
+                g = abs_[k].graph
+                if g.node_n <= 2:
+                    host_only.append(k)
+                    continue
+                if not g.is_topological_sorted:
+                    g.topological_sort(params)
+                if not use_device or len(window) == 0:
+                    host_only.append(k)
+                    continue
+                bi = int(g.node_id_to_index[beg_id])
+                ei = int(g.node_id_to_index[end_id])
+                dg = export_dense(g, params, window, beg_index=bi,
+                                  end_index=ei)
+                batch.append((k, beg_id, end_id, window, dg))
+            results = {}
+            for k in host_only:
+                beg_id, end_id, window = reqs[k]
+                g = abs_[k].graph
+                if g.node_n <= 2:
+                    results[k] = None
+                else:
+                    results[k] = align_sequence_to_subgraph(
+                        g, params, beg_id, end_id, window,
+                        arena=abs_[k].arena)
+            if batch:
+                results.update(self._seeded_device_round(batch, abs_))
+            for k in sorted(reqs):
+                try:
+                    reqs[k] = gens[k].send(results[k])
+                except StopIteration:
+                    del reqs[k]
+            self.rounds += 1
+        return abs_
+
+    def _seeded_device_round(self, batch, abs_):
+        """One window-level device round over mixed subgraph exports."""
+        import time
+        import jax.numpy as jnp
+        from ..align.engine_jax import make_pallas_inputs, repad_dense
+        from ..align.engine_np import AlignResult, align_sequence_to_subgraph
+        from ..ops import dp_pallas as dpp
+        from ..ops import bt_xla
+        from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
+        params = self.params
+        results = {}
+        # group by pn, pad to the round maxima
+        by_pn = {}
+        for item in batch:
+            by_pn.setdefault(item[4].pn, []).append(item)
+        for pn, items in by_pn.items():
+            R = max(d[4].R for d in items)
+            W = max(d[4].W for d in items)
+            P_ = max(d[4].P for d in items)
+            O_ = max(d[4].O for d in items)
+            Wq = max((d[4].qlen // 128 + 1) * 128 for d in items)
+            dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
+            LMAX = ((R + Wq) + 511) // 512 * 512
+            G = 4 if len(items) >= 4 else (2 if len(items) >= 2 else 1)
+            while 5 * G * R * Wq * 4 > 100 * 1024 * 1024 and G > 1:
+                G //= 2
+            cfgs, arrs = zip(*(make_pallas_inputs(dg, params, 128,
+                                                  force_Wq=Wq,
+                                                  bt_lmax=LMAX)
+                               for dg in dgs))
+            cfg = cfgs[0]
+            fwc = FWConfig(gap_mode=cfg.gap_mode,
+                           align_mode=cfg.align_mode, pn=cfg.pn, R=R,
+                           Wq=Wq, P=cfg.P, O=cfg.O, m=cfg.m,
+                           use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=G)
+            nb = len(items)
+            pad = (-nb) % G
+            stacked = tuple(jnp.asarray(np.stack(
+                [a[i] for a in arrs] + [arrs[0][i]] * pad))
+                for i in range(len(arrs[0])))
+            t0 = time.perf_counter()
+            out = fw_poa_dp_batch(fwc, *stacked)
+            misc = np.asarray(out.misc)[:nb]
+            steps = np.asarray(out.steps)[:nb]
+            self.dp_seconds += time.perf_counter() - t0
+            self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
+            mpl = np.asarray(out.mpl)[:nb]
+            mpr = np.asarray(out.mpr)[:nb]
+            for b, (k, beg_id, end_id, window, dg0) in enumerate(items):
+                ab = abs_[k]
+                g = ab.graph
+                if misc[b, dpp.M_FAIL]:
+                    # oracle re-runs from the pre-call band state (no
+                    # writeback happened for this instance)
+                    self.fallbacks += 1
+                    results[k] = align_sequence_to_subgraph(
+                        g, params, beg_id, end_id, window, arena=ab.arena)
+                    continue
+                n = dg0.n_rows
+                bi = dg0.beg_index
+                ids = np.asarray(g.index_to_node_id[bi:bi + n],
+                                 dtype=np.int64)
+                g.node_id_to_max_pos_left[ids] = mpl[b, :n]
+                g.node_id_to_max_pos_right[ids] = mpr[b, :n]
+                res = AlignResult()
+                res.best_score = int(misc[b, dpp.M_BEST])
+                bt_xla.replay_steps(g, params, np.asarray(window),
+                                    steps[b], int(misc[b, dpp.M_NSTEPS]),
+                                    int(misc[b, dpp.M_BI]),
+                                    int(misc[b, dpp.M_BJ]),
+                                    int(misc[b, dpp.M_ENDI]),
+                                    int(misc[b, dpp.M_ENDJ]), res,
+                                    row0=bi)
+                results[k] = res
+        return results
+
     def _effective_engine(self) -> str:
         """Pallas needs a real TPU backend, banding, and global/extend."""
         import jax
