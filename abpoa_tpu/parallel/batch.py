@@ -385,9 +385,8 @@ class BatchPOA:
             if self.mesh is not None else 1
         chunk = (G if use_fw else 1) * ndev
         pad = (-nb) % chunk
-        stacked = tuple(jnp.asarray(np.stack(
-            [a[i] for a in arrs] + [arrs[0][i]] * pad))
-            for i in range(len(arrs[0])))
+        stacked_np = [np.stack([a[i] for a in arrs] + [arrs[0][i]] * pad)
+                      for i in range(len(arrs[0]))]
         t0 = time.perf_counter()
         if use_fw:
             from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
@@ -407,11 +406,24 @@ class BatchPOA:
             kern_fn = jax.jit(shard_map(
                 kern_fn, mesh=self.mesh,
                 in_specs=tuple(P(self.batch_axis)
-                               for _ in range(len(stacked))),
+                               for _ in range(len(stacked_np))),
                 out_specs=P(self.batch_axis), check_rep=False))
-        out = kern_fn(*stacked)
-        return dict(out=out, nb=nb, abs_=abs_, group=group, r=r,
+
+        # the host->device upload and dispatch block on the transport; run
+        # them in the worker thread so the pipeline's host work (fusion,
+        # export) truly overlaps (I/O releases the GIL)
+        def submit():
+            stacked = tuple(jnp.asarray(a) for a in stacked_np)
+            return kern_fn(*stacked)
+        fut = self._pool().submit(submit)
+        return dict(future=fut, nb=nb, abs_=abs_, group=group, r=r,
                     instances=instances, t0=t0)
+
+    def _pool(self):
+        if getattr(self, "_executor", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(max_workers=1)
+        return self._executor
 
     def _pallas_collect(self, pend):
         """Fetch a dispatched round's results and fuse them (host work)."""
@@ -422,7 +434,7 @@ class BatchPOA:
         from ..params import SRC_NODE_ID, SINK_NODE_ID
         params = self.params
         import jax
-        out, nb = pend["out"], pend["nb"]
+        out, nb = pend["future"].result(), pend["nb"]
         abs_, group, r = pend["abs_"], pend["group"], pend["r"]
         instances = pend["instances"]
         misc, steps = jax.device_get((out.misc, out.steps))  # sync point
