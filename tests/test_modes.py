@@ -34,3 +34,31 @@ def test_aa_blosum62():
 def test_nt_hoxd70():
     expected = (GOLDEN_SAN / "seq_hoxd70_cons.fa").read_text()
     assert run_cli(["-t", str(REF / "HOXD70.mtx"), SEQ]) == expected
+
+
+def test_fastq_qv_weights():
+    """-Q: FASTQ quality as edge weight (ref abpoa_align.c:465)."""
+    expected = (GOLDEN_SAN / "seq_fq_Q_cons.fa").read_text()
+    assert run_cli(["-Q", str(DATA / "seq.fq")]) == expected
+
+
+def test_fastq_qv_multicons_msa():
+    """-Q -d2 -r2: qv-weighted multi-consensus clustering."""
+    expected = (GOLDEN_SAN / "seq_fq_Qd2_msa.out").read_text()
+    assert run_cli(["-Q", "-d2", "-r2", str(DATA / "seq.fq")]) == expected
+
+
+def test_list_mode(tmp_path):
+    """-l: input is a list of sequence files (serial, one graph each)."""
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{DATA / 'heter.fa'}\n{DATA / 'seq.fa'}\n")
+    expected = (GOLDEN_SAN / "list_cons.fa").read_text()
+    assert run_cli(["-l", str(lst)]) == expected
+
+
+def test_amb_strand_jax_engine():
+    """-s via the device/XLA engine: exercises the adaptive-band state
+    writeback between two aligns of the same read (no re-toposort)."""
+    expected = (GOLDEN_SAN / "seq_cons_ambs.fa").read_text()
+    assert run_cli(["--engine", "jax", "-s", str(DATA / "seq.fa")]) \
+        == expected
