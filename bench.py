@@ -68,9 +68,12 @@ def _reference_cells_per_s(fixture: str, cells_per_instance: int) -> float:
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from abpoa_tpu.params import Params
     from abpoa_tpu.parallel import BatchPOA
-    import jax
 
     reads = _load_reads(FIXTURE)
     instances = [reads] * N_INSTANCES
