@@ -20,8 +20,8 @@ def align_sequence_to_subgraph(graph, params, beg_node_id, end_node_id,
         graph.topological_sort(params)
     if getattr(params, "engine", "auto") == "jax":
         if beg_node_id == SRC_NODE_ID and end_node_id == SINK_NODE_ID:
-            from .engine_jax import align_sequence_to_graph_jax
-            return align_sequence_to_graph_jax(graph, params, query)
+            from .engine_jax import align_sequence_to_graph_device
+            return align_sequence_to_graph_device(graph, params, query)
         if len(query) > 0:
             from .engine_jax import align_sequence_to_subgraph_device
             return align_sequence_to_subgraph_device(

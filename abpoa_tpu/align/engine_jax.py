@@ -29,26 +29,12 @@ def _bucket(x: int, lo: int) -> int:
 
 
 def score_dispatch(params, gn: int, qlen: int):
-    """The reference's 16/32-bit score-width choice (ref :1667-1683); the
-    TPU engine computes in int32 either way but inherits pn + inf_min so the
-    band geometry (lane snapping) matches bit-exactly."""
-    gap_oe1 = params.gap_open1 + params.gap_ext1
-    gap_oe2 = params.gap_open2 + params.gap_ext2
-    ln = max(qlen, gn)
-    max_score = max(qlen * params.max_mat,
-                    ln * params.gap_ext1 + params.gap_open1)
-    if max_score <= INT16_MAX - params.min_mis - gap_oe1 - gap_oe2:
-        bits = 16
-        inf_min = (max(INT16_MIN + params.min_mis, INT16_MIN + gap_oe1,
-                       INT16_MIN + gap_oe2)
-                   + 31 * max(params.gap_ext1, params.gap_ext2))
-    else:
-        bits = 32
-        inf_min = (max(INT32_MIN + params.min_mis, INT32_MIN + gap_oe1,
-                       INT32_MIN + gap_oe2)
-                   + 31 * max(params.gap_ext1, params.gap_ext2))
-    pn, log_n = _simd_params(bits)
-    return pn, int(inf_min)
+    """pn + inf_min from the oracle's 16/32-bit dispatch (shared single
+    source of truth; the device engines compute int32 but inherit the lane
+    geometry so band snapping matches the oracle bit-exactly)."""
+    from .engine_np import score_width_dispatch
+    _bits, pn, _log_n, inf_min = score_width_dispatch(params, gn, qlen)
+    return pn, inf_min
 
 
 @dataclasses.dataclass
@@ -444,7 +430,8 @@ def align_sequence_to_subgraph_device(graph, params, beg_node_id,
     import jax
     if (params.wb < 0
             or params.align_mode not in (GLOBAL_MODE, EXTEND_MODE)
-            or jax.default_backend() not in ("tpu", "axon")):
+            or jax.default_backend() not in ("tpu", "axon")
+            or graph.node_n > 4096 or len(query) >= (1 << 17)):
         return oracle_sub(graph, params, beg_node_id, end_node_id, query)
     beg_index = int(graph.node_id_to_index[beg_node_id])
     end_index = int(graph.node_id_to_index[end_node_id])
@@ -484,12 +471,17 @@ def align_sequence_to_subgraph_device(graph, params, beg_node_id,
 def align_sequence_to_graph_device(graph, params, query) -> AlignResult:
     """Full device path: Pallas banded DP + device backtrack; only the
     packed step stream (O(path) int32) crosses the host link. Falls back
-    to the XLA engine on overflow/unsupported modes, and to the host
-    backtrack if the device backtrack reports a dead end."""
+    to the XLA engine on overflow/unsupported modes (incl. graphs past the
+    packed-step row capacity), and to the host backtrack if the device
+    backtrack reports a dead end."""
     from ..ops import dp_pallas as dpp
     from ..ops import bt_xla
+    import jax
     import jax.numpy as jnp
-    if params.wb < 0 or params.align_mode not in (GLOBAL_MODE, EXTEND_MODE):
+    if (params.wb < 0
+            or params.align_mode not in (GLOBAL_MODE, EXTEND_MODE)
+            or jax.default_backend() not in ("tpu", "axon")
+            or graph.node_n > 4096 or len(query) >= (1 << 17)):
         return align_sequence_to_graph_jax(graph, params, query)
     dg = export_dense(graph, params, query)
     WB = pick_WB(params, dg.qlen, dg.pn)

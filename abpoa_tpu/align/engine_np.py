@@ -64,6 +64,30 @@ def _simd_params(bits: int):
     return 16, 4
 
 
+def score_width_dispatch(params, gn: int, qlen: int):
+    """The reference's 16/32-bit score-width choice (ref :1667-1683).
+    Single source of truth: the device engines inherit pn + inf_min from
+    here so their lane-snapped band geometry matches the oracle exactly.
+    Returns (bits, pn, log_n, inf_min)."""
+    gap_oe1 = params.gap_open1 + params.gap_ext1
+    gap_oe2 = params.gap_open2 + params.gap_ext2
+    ln = max(qlen, gn)
+    max_score = max(qlen * params.max_mat,
+                    ln * params.gap_ext1 + params.gap_open1)
+    if max_score <= INT16_MAX - params.min_mis - gap_oe1 - gap_oe2:
+        bits = 16
+        inf_min = (max(INT16_MIN + params.min_mis, INT16_MIN + gap_oe1,
+                       INT16_MIN + gap_oe2)
+                   + 31 * max(params.gap_ext1, params.gap_ext2))
+    else:
+        bits = 32
+        inf_min = (max(INT32_MIN + params.min_mis, INT32_MIN + gap_oe1,
+                       INT32_MIN + gap_oe2)
+                   + 31 * max(params.gap_ext1, params.gap_ext2))
+    pn, log_n = _simd_params(bits)
+    return bits, pn, log_n, int(inf_min)
+
+
 def align_sequence_to_subgraph(graph, params, beg_node_id: int, end_node_id: int,
                                query: np.ndarray, arena=None) -> AlignResult:
     """ref simd_abpoa_align_sequence_to_subgraph (:1645-1712).
@@ -93,22 +117,8 @@ def align_sequence_to_subgraph(graph, params, beg_node_id: int, end_node_id: int
             index_map[int(n2i[out_id])] = True
 
     # score-width dispatch (ref :1667-1683)
-    gap_oe1 = params.gap_open1 + params.gap_ext1
-    gap_oe2 = params.gap_open2 + params.gap_ext2
-    ln = max(qlen, gn)
-    max_score = max(qlen * params.max_mat, ln * params.gap_ext1 + params.gap_open1)
-    if max_score <= INT16_MAX - params.min_mis - gap_oe1 - gap_oe2:
-        bits = 16
-        inf_min = (max(INT16_MIN + params.min_mis, INT16_MIN + gap_oe1,
-                       INT16_MIN + gap_oe2)
-                   + 31 * max(params.gap_ext1, params.gap_ext2))
-        it = np.int16
-    else:
-        bits = 32
-        inf_min = (max(INT32_MIN + params.min_mis, INT32_MIN + gap_oe1,
-                       INT32_MIN + gap_oe2)
-                   + 31 * max(params.gap_ext1, params.gap_ext2))
-        it = np.int32
+    bits, _pn, _ln, inf_min = score_width_dispatch(params, gn, qlen)
+    it = np.int16 if bits == 16 else np.int32
 
     ctx = _Ctx(graph, params, beg_node_id, end_node_id, beg_index, end_index,
                index_map, query, qlen, bits, inf_min, it, res, arena)

@@ -183,6 +183,10 @@ def main(argv=None) -> int:
         elif c == "V":
             params.verbose = int(arg)
         elif c == "\x01":  # --engine {numpy,jax}: DP engine selection
+            if arg not in ("numpy", "jax", "auto"):
+                print(f"Error: unknown engine: {arg} "
+                      f"(expected numpy|jax).", file=sys.stderr)
+                return 1
             params.engine = arg
         elif c == "h":
             print(USAGE, file=sys.stderr)

@@ -21,9 +21,13 @@ _lib = None
 
 
 def _build():
+    # compile to a temp file and rename: concurrent importers must never
+    # dlopen a half-written library
     cc = os.environ.get("CC", "cc")
-    subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", str(_SO),
+    tmp = _SO.with_suffix(f".tmp.{os.getpid()}.so")
+    subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", str(tmp),
                     str(_SRC)], check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def get_lib():

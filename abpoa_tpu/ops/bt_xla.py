@@ -70,15 +70,17 @@ def _first_true(conds):
     return idx
 
 
-def backtrack_one(cfg: BTConfig, planes, beg_sn, end_sn,
+def backtrack_one(cfg: BTConfig, planes, tile_sn, beg_sn, end_sn,
                   pre_idx, pre_n, bases, qcodes, mat, best_i, best_j,
                   qlen, e1, oe1, e2, oe2):
-    """One instance. planes: [R, 5, WB] packed (H,E1,E2,F1,F2). Returns
+    """One instance. planes: [R, 5, WB] packed (H,E1,E2,F1,F2); row i's
+    tile holds columns [tile_sn[i]*pn, ...) (zeros for full-width planes).
+    beg_sn/end_sn are the adaptive band bounds for in-band gating. Returns
     (steps[LMAX] packed i32, n_steps, fail, end_i, end_j): the stream in
     push order (reverse alignment order)."""
     pn = cfg.pn
     gm = cfg.gap_mode
-    slab = _mk_slab(cfg, planes, beg_sn)
+    slab = _mk_slab(cfg, planes, tile_sn)
 
     def in_band(pre, col):
         return ((beg_sn[pre] * pn <= col)
@@ -241,11 +243,14 @@ def backtrack_one(cfg: BTConfig, planes, beg_sn, end_sn,
 @partial(jax.jit, static_argnums=0)
 def backtrack_batch(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
                     pre_idx, pre_n, bases, qcodes, mat, best_i, best_j,
-                    qlen, e1, oe1, e2, oe2):
+                    qlen, e1, oe1, e2, oe2, tile_sn=None):
     planes = jnp.stack([Hb, E1b, E2b, F1b, F2b], axis=2)  # [B, R, 5, WB]
     i32 = jnp.int32
+    if tile_sn is None:
+        tile_sn = beg_sn  # banded tiles: offset == band start
     fn = lambda *a: backtrack_one(cfg, *a)  # noqa: E731
-    return jax.vmap(fn)(planes, beg_sn.astype(i32), end_sn.astype(i32),
+    return jax.vmap(fn)(planes, tile_sn.astype(i32), beg_sn.astype(i32),
+                        end_sn.astype(i32),
                         pre_idx.astype(i32), pre_n.astype(i32),
                         bases.astype(i32), qcodes.astype(i32),
                         mat.astype(i32), best_i.astype(i32),

@@ -40,6 +40,9 @@ def _stack_inputs(dgs, params):
     return cfg, batched
 
 
+_DISPATCH_POOL = None
+
+
 class BatchPOA:
     """Run many independent POA problems through the batched device DP.
 
@@ -165,8 +168,10 @@ class BatchPOA:
             for pn in sorted({d.pn for d in nat.values()}):
                 group = [k for k in todo if nat[k].pn == pn]
                 dgs = [repad_dense(nat[k], R, W, P_, O_) for k in group]
-                pends.append(self._pallas_dispatch(abs_, group, dgs, r,
-                                                   instances))
+                pend = self._pallas_dispatch(abs_, group, dgs, r,
+                                             instances)
+                if pend is not None:  # oversized: ran the XLA path inline
+                    pends.append(pend)
             return pends
 
         while (rounds[0] < n_rounds[0] or rounds[1] < n_rounds[1]
@@ -349,7 +354,8 @@ class BatchPOA:
     # -------------------------------------------------------------- #
     def _round_pallas(self, abs_, group, dgs, r, instances):
         pend = self._pallas_dispatch(abs_, group, dgs, r, instances)
-        self._pallas_collect(pend)
+        if pend is not None:
+            self._pallas_collect(pend)
 
     def _pallas_dispatch(self, abs_, group, dgs, r, instances):
         """Enqueue one round's device work (DP + in-kernel backtrack) and
@@ -375,6 +381,13 @@ class BatchPOA:
                 G = g
                 break
         use_fw = G > 0
+        # the packed backtrack step is op|row<<2|col<<14: rows need <=12
+        # bits and cols <=17; larger problems use the XLA fallback engine
+        if R > 4096 or Wq >= (1 << 17):
+            cfg, batched = _stack_inputs(dgs, params)
+            out = self._device_call(cfg, batched)
+            self._finish_round(abs_, group, dgs, out, r, instances)
+            return None
         cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=Wq,
                                               bt_lmax=LMAX)
                            for dg in dgs))
@@ -399,15 +412,24 @@ class BatchPOA:
             kern_fn = lambda *a: dpp.pallas_poa_dp_batch(cfg, *a)  # noqa
         if self.mesh is not None:
             # pure data parallelism: independent instances shard over the
-            # batch axis; each device runs the kernel on its shard
+            # batch axis; each device runs the kernel on its shard. Cache
+            # the jitted shard-mapped callable per static config — a fresh
+            # jax.jit object every round would miss the jit cache and
+            # recompile each round.
             import jax
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
-            kern_fn = jax.jit(shard_map(
-                kern_fn, mesh=self.mesh,
-                in_specs=tuple(P(self.batch_axis)
-                               for _ in range(len(stacked_np))),
-                out_specs=P(self.batch_axis), check_rep=False))
+            key = (fwc if use_fw else cfg, id(self.mesh), len(stacked_np))
+            cache = getattr(self, "_mesh_kern_cache", None)
+            if cache is None:
+                cache = self._mesh_kern_cache = {}
+            if key not in cache:
+                cache[key] = jax.jit(shard_map(
+                    kern_fn, mesh=self.mesh,
+                    in_specs=tuple(P(self.batch_axis)
+                                   for _ in range(len(stacked_np))),
+                    out_specs=P(self.batch_axis), check_rep=False))
+            kern_fn = cache[key]
 
         # the host->device upload and dispatch block on the transport; run
         # them in the worker thread so the pipeline's host work (fusion,
@@ -420,10 +442,14 @@ class BatchPOA:
                     instances=instances, t0=t0)
 
     def _pool(self):
-        if getattr(self, "_executor", None) is None:
+        # one shared dispatch worker for the process (BatchPOA instances
+        # are created per run; per-instance executors would leak threads)
+        global _DISPATCH_POOL
+        if _DISPATCH_POOL is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._executor = ThreadPoolExecutor(max_workers=1)
-        return self._executor
+            _DISPATCH_POOL = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="abpoa-dispatch")
+        return _DISPATCH_POOL
 
     def _pallas_collect(self, pend):
         """Fetch a dispatched round's results and fuse them (host work)."""
