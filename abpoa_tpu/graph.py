@@ -476,10 +476,11 @@ class POAGraph:
             from . import native
             lib = native.get_lib()
             if lib is not None:
-                c = self._csr if (self.is_topological_sorted
-                                  and self._csr is not None
-                                  and self._csr["n"] == self.node_n) \
-                    else self.build_csr()
+                # unconditional: build_csr is O(pending changes) when the
+                # delta log is small, and trusting a cached snapshot here
+                # would silently use stale adjacency if a future mutation
+                # path forgot to clear is_topological_sorted
+                c = self.build_csr()
                 self.node_id_to_msa_rank = native.msa_rank(
                     self.node_n, c["out_flat"], c["out_off"], c["in_cnt"],
                     c["al_flat"], c["al_off"]).astype(np.int64)

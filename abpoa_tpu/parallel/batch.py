@@ -242,6 +242,12 @@ class BatchPOA:
                 ei = int(g.node_id_to_index[end_id])
                 dg = export_dense(g, params, window, beg_index=bi,
                                   end_index=ei)
+                # packed backtrack step is op|row<<2|col<<14 (12 row bits,
+                # 17 col bits) — oversized windows go to the oracle, same
+                # guard as _pallas_dispatch
+                if dg.R > 4096 or (dg.qlen // 128 + 1) * 128 >= (1 << 17):
+                    host_only.append(k)
+                    continue
                 batch.append((k, beg_id, end_id, window, dg))
             results = {}
             for k in host_only:

@@ -7,6 +7,8 @@ since anchors determine the windowed alignments and hence output bytes.
 """
 from __future__ import annotations
 
+import sys
+
 MASK32 = 0xffffffff
 MASK64 = 0xffffffffffffffff
 
@@ -108,6 +110,9 @@ def mm_sketch(seq, length, w, k, rid, both_strand, out, aa=False):
 
 def collect_mm(seqs, seq_lens, n_seq, params):
     """ref abpoa_collect_mm (:690-701): per-read minimizer buckets."""
+    if params.verbose > 0:
+        print("[abpoa_collect_mm] Collecting minimizers ... ",
+              end="", file=sys.stderr)
     mm: list = []
     mm_c = [0]
     for i in range(n_seq):
@@ -118,13 +123,20 @@ def collect_mm(seqs, seq_lens, n_seq, params):
             mm_sketch(seqs[i], seq_lens[i], params.w, params.k, i,
                              bool(params.amb_strand), mm)
         mm_c.append(len(mm))
+    if params.verbose > 0:
+        print("done!", file=sys.stderr)
     return mm, mm_c
 
 
 def build_guide_tree(params, n_seq: int, mm: list, tree_id_map: list):
-    """Jaccard-similarity greedy guide tree (ref :231-324)."""
+    """Jaccard-similarity greedy guide tree (ref :231-324).
+
+    Verbose progress messages mirror ref abpoa_seed.c:234,322."""
     if not mm:
         return
+    if params.verbose > 0:
+        print("[abpoa_build_guide_tree] Building progressive guide tree"
+              " ... ", end="", file=sys.stderr)
     tri = [0] * ((n_seq * (n_seq + 1)) >> 1)
     mm_sorted = sorted(mm, key=lambda t: t[0])
 
@@ -178,6 +190,8 @@ def build_guide_tree(params, n_seq: int, mm: list, tree_id_map: list):
             raise RuntimeError("Bug in progressive tree building.")
         tree_id_map[n_in] = best
         n_in += 1
+    if params.verbose > 0:
+        print("done!", file=sys.stderr)
 
 
 def collect_anchors(mm: list, mm_c: list, tid: int, qid: int, qlen: int,

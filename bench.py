@@ -54,11 +54,15 @@ def _reference_cells_per_s(fixture: str, cells_per_instance: int) -> float:
                        stderr=subprocess.DEVNULL, check=True)
         dt = time.perf_counter() - t0
         rate = n * cells_per_instance / dt
-        data = {}
-        if BASELINE_FILE.exists():
-            data = json.loads(BASELINE_FILE.read_text())
-        data[fixture] = {"cells_per_s": rate, "n": n, "wall_s": dt}
-        BASELINE_FILE.write_text(json.dumps(data, indent=1))
+        # the committed baseline stays stable: a live measurement only
+        # replaces it behind an explicit opt-in (a noisy run on a loaded
+        # host must not silently rewrite the denominator)
+        if os.environ.get("ABPOA_UPDATE_BASELINE") == "1":
+            data = {}
+            if BASELINE_FILE.exists():
+                data = json.loads(BASELINE_FILE.read_text())
+            data[fixture] = {"cells_per_s": rate, "n": n, "wall_s": dt}
+            BASELINE_FILE.write_text(json.dumps(data, indent=1))
         return rate
     if BASELINE_FILE.exists():
         data = json.loads(BASELINE_FILE.read_text())

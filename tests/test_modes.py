@@ -8,7 +8,9 @@ from test_parity import run_cli
 
 PROT = str(DATA / "prot.fa")
 SEQ = str(DATA / "seq.fa")
-REF = pathlib.Path("/root/reference")
+# vendored score-matrix data files at repo root (same layout as the
+# reference repo, so `-t BLOSUM62.mtx` works standalone)
+MTX = pathlib.Path(__file__).resolve().parent.parent
 
 
 def test_aa_cons():
@@ -21,19 +23,21 @@ def test_aa_msa():
     assert run_cli(["-c", "-r2", PROT]) == expected
 
 
-@pytest.mark.skipif(not (REF / "BLOSUM62.mtx").exists(),
-                    reason="reference matrix files not mounted")
 def test_aa_blosum62():
     expected = (GOLDEN_SAN / "prot_blosum_cons.fa").read_text()
-    assert run_cli(["-c", "-t", str(REF / "BLOSUM62.mtx"), PROT]) \
+    assert run_cli(["-c", "-t", str(MTX / "BLOSUM62.mtx"), PROT]) \
         == expected
 
 
-@pytest.mark.skipif(not (REF / "HOXD70.mtx").exists(),
-                    reason="reference matrix files not mounted")
 def test_nt_hoxd70():
     expected = (GOLDEN_SAN / "seq_hoxd70_cons.fa").read_text()
-    assert run_cli(["-t", str(REF / "HOXD70.mtx"), SEQ]) == expected
+    assert run_cli(["-t", str(MTX / "HOXD70.mtx"), SEQ]) == expected
+
+
+def test_aa_pam250():
+    expected = (GOLDEN_SAN / "prot_pam250_cons.fa").read_text()
+    assert run_cli(["-c", "-t", str(MTX / "PAM250.mtx"), PROT]) \
+        == expected
 
 
 def test_fastq_qv_weights():
@@ -54,6 +58,23 @@ def test_list_mode(tmp_path):
     lst.write_text(f"{DATA / 'heter.fa'}\n{DATA / 'seq.fa'}\n")
     expected = (GOLDEN_SAN / "list_cons.fa").read_text()
     assert run_cli(["-l", str(lst)]) == expected
+
+
+def test_verbose_seeding_messages():
+    """-V1: seeding progress messages on stderr
+    (ref abpoa_seed.c:234,322,691,699)."""
+    import io
+    import contextlib
+    from abpoa_tpu.cli import main
+    err = io.StringIO()
+    with contextlib.redirect_stdout(io.StringIO()), \
+            contextlib.redirect_stderr(err):
+        rc = main(["-S", "-p", "-V1", str(DATA / "heter.fa")])
+    assert rc == 0
+    lines = err.getvalue().splitlines()
+    assert "[abpoa_collect_mm] Collecting minimizers ... done!" in lines
+    assert ("[abpoa_build_guide_tree] Building progressive guide tree"
+            " ... done!") in lines
 
 
 def test_amb_strand_jax_engine():
