@@ -103,12 +103,12 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     W = force_W if force_W else _bucket(W_needed, min_W)
     banded = params.wb >= 0
 
-    node = graph.node
     ids = np.asarray(i2n[beg_index:end_index + 1], dtype=np.int64)
     bases = np.zeros(R, dtype=np.int32)
     csr = getattr(graph, "_csr", None)
     if not full:
         # subgraph export: filtered adjacency, plain python path
+        node = graph.node  # NativeGraph: one cached materialization
         if index_map is None:
             index_map = subgraph_index_map(graph, beg_index, end_index)
         rowmask = np.zeros(R, dtype=np.int32)
@@ -175,6 +175,7 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
         flat_in = csr["in_flat"][s_in + w_in].astype(np.int64)
         flat_out = csr["out_flat"][s_out + w_out].astype(np.int64)
     else:
+        node = graph.node
         in_lists = [node[int(nid)].in_id for nid in ids]
         out_lists_ = [node[int(nid)].out_id for nid in ids]
         pre_cnt = np.fromiter(map(len, in_lists), dtype=np.int32, count=n)

@@ -79,7 +79,8 @@ def _reverse_bfs_bundle(graph, out_w_fn):
     with strict greater.
     """
     n = graph.node_n
-    out_degree = [len(nd.out_id) for nd in graph.node]
+    node = graph.node  # bind once (NativeGraph: property with cache check)
+    out_degree = [len(nd.out_id) for nd in node]
     score = [0] * n
     max_out_id = [-1] * n
     q = deque([SINK_NODE_ID])
@@ -90,7 +91,7 @@ def _reverse_bfs_bundle(graph, out_w_fn):
             score[cur] = 0
         elif cur == SRC_NODE_ID:
             path_score, path_max_w, max_id = -1, -1, -1
-            for i, out_id in enumerate(graph.node[cur].out_id):
+            for i, out_id in enumerate(node[cur].out_id):
                 out_w = out_w_fn(cur, i)
                 if out_w > path_max_w or (out_w == path_max_w
                                           and score[out_id] > path_score):
@@ -101,7 +102,7 @@ def _reverse_bfs_bundle(graph, out_w_fn):
             break
         else:
             max_w, max_id = -(1 << 62), -1
-            for i, out_id in enumerate(graph.node[cur].out_id):
+            for i, out_id in enumerate(node[cur].out_id):
                 out_w = out_w_fn(cur, i)
                 if max_w < out_w:
                     max_w, max_id = out_w, out_id
@@ -109,7 +110,7 @@ def _reverse_bfs_bundle(graph, out_w_fn):
                     max_id = out_id
             score[cur] = max_w + score[max_id]
             max_out_id[cur] = max_id
-        for in_id in graph.node[cur].in_id:
+        for in_id in node[cur].in_id:
             out_degree[in_id] -= 1
             if out_degree[in_id] == 0:
                 q.append(in_id)
@@ -118,13 +119,14 @@ def _reverse_bfs_bundle(graph, out_w_fn):
 
 def heaviest_bundling(graph, abc: Consensus):
     """single-cluster consensus (ref abpoa_heaviest_bundling :361-415)."""
+    node = graph.node
     max_out_id = _reverse_bfs_bundle(
-        graph, lambda nid, i: graph.node[nid].out_weight[i])
+        graph, lambda nid, i: node[nid].out_weight[i])
     abc.n_cons = 1
     abc.clu_n_seq = [abc.n_seq]
     abc.clu_read_ids = [list(range(abc.n_seq))]
     _set_hb_cons(graph, abc, 0, max_out_id,
-                 cov_fn=lambda nid: graph.node[nid].n_read)
+                 cov_fn=lambda nid: node[nid].n_read)
 
 
 def _set_hb_cons(graph, abc: Consensus, cons_i: int, max_out_id, cov_fn):

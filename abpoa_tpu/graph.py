@@ -531,3 +531,306 @@ class POAGraph:
         exc_beg_i = self.upstream_index(beg_i, end_i)
         exc_end_i = self.downstream_index(beg_i, end_i)
         return int(self.index_to_node_id[exc_beg_i]), int(self.index_to_node_id[exc_end_i])
+
+
+class NativeGraph(POAGraph):
+    """POAGraph backed by the native C store (native/poagraph.c).
+
+    Same semantics (list orders, fusion rules, traversal orders — all
+    byte-parity-critical) with storage, CIGAR/steps fusion, traversals and
+    CSR export in C. ``.node`` materializes Python Node views lazily (cached
+    per mutation version) for the cold read paths (consensus/MSA/GFA/plot
+    and the host oracle); the batched device pipeline never touches it.
+    Use ``available()`` to check the C library loaded.
+    """
+
+    def __init__(self):
+        from . import native
+        self._n = native
+        lib = native.get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.pg_new()
+        if not self._h:
+            raise MemoryError("pg_new failed")
+        self.is_topological_sorted = False
+        self.is_called_cons = False
+        self.is_set_msa_rank = False
+        self._version = 0
+        self._csr = None
+        self._csr_version = -1
+        self._nodes_cache = None
+        self._nodes_version = -1
+        self._i2n32 = None
+        self.index_to_node_id = None
+        self.node_id_to_index = None
+        self.node_id_to_max_pos_left = None
+        self.node_id_to_max_pos_right = None
+        self.node_id_to_max_remain = None
+        self.node_id_to_msa_rank = None
+
+    @staticmethod
+    def available() -> bool:
+        from . import native
+        return native.get_lib() is not None
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.pg_free(h)
+            self._h = None
+
+    # ------------------------------------------------------------------ #
+    @property
+    def node_n(self) -> int:
+        return int(self._lib.pg_node_n(self._h))
+
+    @property
+    def node(self):
+        """Materialized Node views (read-only snapshot, cached)."""
+        if self._nodes_version == self._version:
+            return self._nodes_cache
+        import ctypes
+        ptr = self._n.ptr
+        lib = self._lib
+        c = self.build_csr()
+        n = c["n"]
+        E = int(c["out_off"][-1])
+        rn = int(lib.pg_rn(self._h))
+        cnt = (ctypes.c_int64 * 3)()
+        lib.pg_counts(self._h, ctypes.byref(cnt, 0), ctypes.byref(cnt, 8),
+                      ctypes.byref(cnt, 16))
+        n_rw = int(cnt[2])
+        read_words = np.zeros((max(E, 1), rn), dtype=np.uint64)
+        n_read = np.zeros(n, dtype=np.int32)
+        rw_node = np.zeros(max(n_rw, 1), dtype=np.int32)
+        rw_rid = np.zeros(max(n_rw, 1), dtype=np.int32)
+        rw_w = np.zeros(max(n_rw, 1), dtype=np.int32)
+        lib.pg_export_aux(self._h, ptr(read_words), ptr(n_read),
+                          ptr(rw_node), ptr(rw_rid), ptr(rw_w))
+        out_off = c["out_off"]
+        in_off = c["in_off"]
+        al_off = c["al_off"]
+        out_flat = c["out_flat"]
+        out_w = c["out_w_flat"]
+        in_flat = c["in_flat"]
+        al_flat = c["al_flat"]
+        bases = c["bases"]
+        rbytes = read_words.view(np.uint8).reshape(max(E, 1), rn * 8)
+        nodes = []
+        for i in range(n):
+            nd = Node(int(bases[i]))
+            o0, o1 = int(out_off[i]), int(out_off[i + 1])
+            nd.out_id = out_flat[o0:o1].tolist()
+            nd.out_weight = out_w[o0:o1].tolist()
+            nd.read_ids = [int.from_bytes(rbytes[e], "little")
+                           for e in range(o0, o1)]
+            nd.in_id = in_flat[int(in_off[i]):int(in_off[i + 1])].tolist()
+            nd.aligned_node_id = al_flat[int(al_off[i]):
+                                         int(al_off[i + 1])].tolist()
+            nd.n_read = int(n_read[i])
+            nodes.append(nd)
+        for j in range(n_rw):
+            nodes[int(rw_node[j])].read_weight[int(rw_rid[j])] = int(rw_w[j])
+        self._nodes_cache = nodes
+        self._nodes_version = self._version
+        return nodes
+
+    # ------------------------------------------------------------------ #
+    def _dirty(self):
+        self._version += 1
+        self.is_called_cons = False
+        self.is_set_msa_rank = False
+        self.is_topological_sorted = False
+
+    def reset(self):
+        self._lib.pg_reset(self._h)
+        self._dirty()
+        self._csr = None
+        self._csr_version = -1
+        self._nodes_cache = None
+        self._nodes_version = -1
+
+    def add_node(self, base: int) -> int:
+        self._version += 1
+        nid = int(self._lib.pg_add_node(self._h, int(base)))
+        if nid < 0:
+            raise MemoryError("pg_add_node failed")
+        return nid
+
+    def add_edge(self, from_id: int, to_id: int, check_edge: bool, w: int,
+                 add_read_id: bool, add_read_weight: bool, read_id: int):
+        self._version += 1
+        self._lib.pg_add_edge(self._h, int(from_id), int(to_id),
+                              int(check_edge), int(w), int(add_read_id),
+                              int(add_read_weight), int(read_id))
+
+    def get_aligned_id(self, node_id: int, base: int) -> int:
+        return int(self._lib.pg_get_aligned_id(self._h, int(node_id),
+                                               int(base)))
+
+    def add_aligned_node(self, node_id: int, aligned_id: int):
+        self._version += 1
+        self._lib.pg_add_aligned(self._h, int(node_id), int(aligned_id))
+
+    def ensure_reads(self, n_reads: int):
+        """Pre-size per-edge read-id masks (avoids growth re-layouts)."""
+        self._lib.pg_ensure_reads(self._h, int(n_reads))
+
+    # ------------------------------------------------------------------ #
+    def add_graph_sequence(self, seq, weight, qpos_to_node_id,
+                           add_read_id: bool, add_read_weight: bool,
+                           read_id: int):
+        ptr = self._n.ptr
+        seq_l = len(seq)
+        s = np.ascontiguousarray(seq, dtype=np.uint8)
+        w = np.ascontiguousarray(weight, dtype=np.int32)
+        q2n = np.zeros(seq_l, dtype=np.int32) \
+            if qpos_to_node_id is not None else None
+        rc = self._lib.pg_add_graph_sequence(
+            self._h, ptr(s), ptr(w), seq_l,
+            ptr(q2n) if q2n is not None else None,
+            int(add_read_id), int(add_read_weight), int(read_id))
+        if rc != 0:
+            raise MemoryError("pg_add_graph_sequence failed")
+        if qpos_to_node_id is not None:
+            qpos_to_node_id[:seq_l] = q2n.tolist()
+        self._dirty()
+
+    def add_subgraph_alignment(self, params, beg_node_id: int,
+                               end_node_id: int, seq, weight, cigar,
+                               qpos_to_node_id, read_id: int,
+                               inc_both_ends: bool):
+        ptr = self._n.ptr
+        seq_l = len(seq)
+        add_read_id = params.use_read_ids
+        add_read_weight = params.use_qv and (params.max_n_cons > 1)
+        if weight is None:
+            weight = [1] * seq_l
+        if self.node_n == 2:
+            self.add_graph_sequence(seq, weight, qpos_to_node_id,
+                                    add_read_id, add_read_weight, read_id)
+            return
+        if not cigar:
+            return
+        nc = len(cigar)
+        cg = np.asarray(cigar, dtype=np.int64)
+        cg_op = np.ascontiguousarray(cg[:, 0], dtype=np.int32)
+        cg_a = np.ascontiguousarray(cg[:, 1], dtype=np.int32)
+        cg_b = np.ascontiguousarray(cg[:, 2], dtype=np.int32)
+        s = np.ascontiguousarray(seq, dtype=np.uint8)
+        w = np.ascontiguousarray(weight, dtype=np.int32)
+        q2n = np.zeros(seq_l, dtype=np.int32) \
+            if qpos_to_node_id is not None else None
+        rc = self._lib.pg_add_subgraph_alignment(
+            self._h, int(beg_node_id), int(end_node_id), ptr(s), ptr(w),
+            seq_l, ptr(cg_op), ptr(cg_a), ptr(cg_b), nc,
+            ptr(q2n) if q2n is not None else None,
+            int(read_id), int(inc_both_ends), int(add_read_id),
+            int(add_read_weight))
+        if rc != 0:
+            raise MemoryError("pg_add_subgraph_alignment failed")
+        if qpos_to_node_id is not None:
+            qpos_to_node_id[:seq_l] = q2n.tolist()
+        self._version += 1
+        self.is_called_cons = False
+        self.is_topological_sorted = False
+
+    def fuse_steps(self, params, row0: int, steps, nsteps: int,
+                   best_j: int, end_j: int, seq, read_id: int,
+                   inc_both_ends: bool,
+                   beg_node_id: int = SRC_NODE_ID,
+                   end_node_id: int = SINK_NODE_ID, weight=None):
+        """Replay a device backtrack step stream and fuse it in one native
+        pass (replaces bt_xla.replay_steps + add_graph_alignment when the
+        cigar itself is not needed). Requires params.rev_cigar == False."""
+        assert not params.rev_cigar
+        ptr = self._n.ptr
+        qlen = len(seq)
+        add_read_id = params.use_read_ids
+        add_read_weight = params.use_qv and (params.max_n_cons > 1)
+        s = np.ascontiguousarray(seq, dtype=np.uint8)
+        if weight is None:
+            w = np.ones(qlen, dtype=np.int32)
+        else:
+            w = np.ascontiguousarray(weight, dtype=np.int32)
+        st = np.ascontiguousarray(steps[:nsteps], dtype=np.int32)
+        rc = self._lib.pg_fuse_steps(
+            self._h, ptr(self._i2n32), int(row0), ptr(st), int(nsteps),
+            int(best_j), int(end_j), qlen, ptr(s), ptr(w), int(read_id),
+            int(add_read_id), int(add_read_weight), int(inc_both_ends),
+            int(beg_node_id), int(end_node_id))
+        if rc != 0:
+            raise MemoryError("pg_fuse_steps failed")
+        self._version += 1
+        self.is_called_cons = False
+        self.is_topological_sorted = False
+
+    # ------------------------------------------------------------------ #
+    def build_csr(self):
+        if self._csr is not None and self._csr_version == self._version:
+            return self._csr
+        import ctypes
+        ptr = self._n.ptr
+        lib = self._lib
+        n = self.node_n
+        cnt = (ctypes.c_int64 * 3)()
+        lib.pg_counts(self._h, ctypes.byref(cnt, 0), ctypes.byref(cnt, 8),
+                      ctypes.byref(cnt, 16))
+        E, A = int(cnt[0]), int(cnt[1])
+        bases = np.empty(n, dtype=np.int32)
+        out_cnt = np.empty(n, dtype=np.int32)
+        in_cnt = np.empty(n, dtype=np.int32)
+        out_off = np.empty(n + 1, dtype=np.int32)
+        in_off = np.empty(n + 1, dtype=np.int32)
+        out_flat = np.empty(E, dtype=np.int32)
+        out_w_flat = np.empty(E, dtype=np.int32)
+        in_flat = np.empty(E, dtype=np.int32)
+        al_off = np.empty(n + 1, dtype=np.int32)
+        al_flat = np.empty(A, dtype=np.int32)
+        lib.pg_export_csr(self._h, ptr(bases), ptr(out_cnt), ptr(in_cnt),
+                          ptr(out_off), ptr(in_off), ptr(out_flat),
+                          ptr(out_w_flat), ptr(in_flat), ptr(al_off),
+                          ptr(al_flat))
+        self._csr = {
+            "n": n, "out_flat": out_flat, "out_off": out_off,
+            "out_w_flat": out_w_flat, "in_flat": in_flat, "in_off": in_off,
+            "in_cnt": in_cnt, "out_cnt": out_cnt, "bases": bases,
+            "al_flat": al_flat, "al_off": al_off,
+        }
+        self._csr_version = self._version
+        return self._csr
+
+    def topological_sort(self, params):
+        ptr = self._n.ptr
+        n = self.node_n
+        # refresh the CSR snapshot: export_dense consumes graph._csr
+        # directly when is_topological_sorted (same contract as POAGraph,
+        # whose topological_sort goes through build_csr)
+        self.build_csr()
+        i2n = np.empty(n, dtype=np.int32)
+        n2i = np.empty(n, dtype=np.int32)
+        if self._lib.pg_topo_sort(self._h, ptr(i2n), ptr(n2i)) != 0:
+            raise RuntimeError("Failed to set node index.")
+        self._i2n32 = i2n
+        self.index_to_node_id = i2n.astype(np.int64)
+        self.node_id_to_index = n2i.astype(np.int64)
+        if params.wb >= 0 or params.zdrop > 0:
+            remain = np.empty(n, dtype=np.int32)
+            if self._lib.pg_set_remain(self._h, ptr(remain)) != 0:
+                raise RuntimeError("Failed to set node remain.")
+            self.node_id_to_max_remain = remain.astype(np.int64)
+        if params.wb >= 0:
+            self.node_id_to_max_pos_right = np.zeros(n, dtype=np.int64)
+            self.node_id_to_max_pos_left = np.full(n, n, dtype=np.int64)
+        self.is_topological_sorted = True
+
+    def set_msa_rank(self):
+        if not self.is_set_msa_rank:
+            ptr = self._n.ptr
+            rank = np.empty(self.node_n, dtype=np.int32)
+            if self._lib.pg_msa_rank(self._h, ptr(rank)) != 0:
+                raise RuntimeError("Error in set_msa_rank.")
+            self.node_id_to_msa_rank = rank.astype(np.int64)
+            self.is_set_msa_rank = True

@@ -1,8 +1,12 @@
 """Native (C) host-side graph kernels, loaded via ctypes.
 
-Compiled on first import with the system compiler into the package dir
-(one-time, ~a second). Set ABPOA_NO_NATIVE=1 to force the pure-Python
-fallbacks in graph.py (used by the equivalence tests).
+Two source files compiled into one shared object on first import (~1 s):
+  hostgraph.c — CSR traversal kernels for the pure-Python POAGraph
+  poagraph.c  — full native graph store (NativeGraph backend): storage,
+                CIGAR/steps fusion, traversals, CSR export
+
+Set ABPOA_NO_NATIVE=1 to force the pure-Python fallbacks in graph.py
+(used by the equivalence tests).
 """
 from __future__ import annotations
 
@@ -15,9 +19,13 @@ import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SO = _DIR / "_hostgraph.so"
-_SRC = _DIR / "hostgraph.c"
+_SRCS = [_DIR / "hostgraph.c", _DIR / "poagraph.c"]
 
 _lib = None
+
+_vp = ctypes.c_void_p
+_i32 = ctypes.c_int32
+_i32p = ctypes.POINTER(ctypes.c_int32)
 
 
 def _build():
@@ -25,8 +33,9 @@ def _build():
     # dlopen a half-written library
     cc = os.environ.get("CC", "cc")
     tmp = _SO.with_suffix(f".tmp.{os.getpid()}.so")
-    subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", str(tmp),
-                    str(_SRC)], check=True, capture_output=True)
+    subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", str(tmp)]
+                   + [str(s) for s in _SRCS], check=True,
+                   capture_output=True)
     os.replace(tmp, _SO)
 
 
@@ -39,15 +48,51 @@ def get_lib():
         _lib = False
         return None
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if (not _SO.exists()
+                or any(_SO.stat().st_mtime < s.stat().st_mtime
+                       for s in _SRCS)):
             _build()
         lib = ctypes.CDLL(str(_SO))
-        i32p = ctypes.POINTER(ctypes.c_int32)
         for name, nargs in (("topo_sort", 7), ("set_remain", 7),
                             ("msa_rank", 6)):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
-            fn.argtypes = [ctypes.c_int32] + [i32p] * nargs
+            fn.argtypes = [_i32] + [_i32p] * nargs
+        # poagraph store API
+        sigs = {
+            "pg_new": (_vp, []),
+            "pg_free": (None, [_vp]),
+            "pg_reset": (None, [_vp]),
+            "pg_node_n": (_i32, [_vp]),
+            "pg_add_node": (_i32, [_vp, _i32]),
+            "pg_ensure_reads": (ctypes.c_int, [_vp, _i32]),
+            "pg_add_edge": (_i32, [_vp] + [_i32] * 7),
+            "pg_get_aligned_id": (_i32, [_vp, _i32, _i32]),
+            "pg_add_aligned": (ctypes.c_int, [_vp, _i32, _i32]),
+            "pg_add_graph_sequence": (ctypes.c_int,
+                                      [_vp, _vp, _vp, _i32, _vp, _i32,
+                                       _i32, _i32]),
+            "pg_add_subgraph_alignment": (ctypes.c_int,
+                                          [_vp, _i32, _i32, _vp, _vp,
+                                           _i32, _vp, _vp, _vp, _i32,
+                                           _vp, _i32, _i32, _i32, _i32]),
+            "pg_fuse_steps": (ctypes.c_int,
+                              [_vp, _vp, _i32, _vp, _i32, _i32, _i32,
+                               _i32, _vp, _vp, _i32, _i32, _i32, _i32,
+                               _i32, _i32]),
+            "pg_topo_sort": (ctypes.c_int, [_vp, _vp, _vp]),
+            "pg_set_remain": (ctypes.c_int, [_vp, _vp]),
+            "pg_msa_rank": (ctypes.c_int, [_vp, _vp]),
+            "pg_rn": (_i32, [_vp]),
+            "pg_counts": (None, [_vp, _vp, _vp, _vp]),
+            "pg_export_csr": (None, [_vp] + [_vp] * 10),
+            "pg_export_aux": (None, [_vp] + [_vp] * 5),
+            "pg_node_base": (_i32, [_vp, _i32]),
+        }
+        for name, (res, args) in sigs.items():
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = args
         _lib = lib
     except Exception:
         _lib = False
@@ -57,6 +102,11 @@ def get_lib():
 
 def _p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def ptr(a: np.ndarray):
+    """Raw data pointer for the pg_* (void*) API."""
+    return ctypes.c_void_p(a.ctypes.data)
 
 
 def topo_sort(n, out_flat, out_off, in_cnt, aligned_flat, aligned_off):

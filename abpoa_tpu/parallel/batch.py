@@ -28,6 +28,24 @@ from ..align.engine_jax import (export_dense, repad_dense, _make_inputs,
                                 _backtrack_from_planes, _bucket)
 
 
+def _make_aligners(instances, params):
+    """One ABPOA per instance, graph store backed by the native C core
+    when available (same semantics as the Python store; equivalence is
+    enforced by tests/test_native_graph.py)."""
+    from ..graph import NativeGraph
+    abs_ = [ABPOA() for _ in instances]
+    if NativeGraph.available():
+        for ab, reads in zip(abs_, instances):
+            g = NativeGraph()
+            g.ensure_reads(len(reads))
+            ab.graph = g
+    for ab, reads in zip(abs_, instances):
+        ab.n_seq = len(reads)
+        ab.names = [""] * len(reads)
+        ab.is_rc = [0] * len(reads)
+    return abs_
+
+
 def _stack_inputs(dgs, params):
     """Stack per-instance DPInputs leaves along a new batch axis."""
     import jax.numpy as jnp
@@ -83,11 +101,7 @@ class BatchPOA:
 
     def run(self, instances) -> list[ABPOA]:
         params = self.params
-        abs_ = [ABPOA() for _ in instances]
-        for ab, reads in zip(abs_, instances):
-            ab.n_seq = len(reads)
-            ab.names = [""] * len(reads)
-            ab.is_rc = [0] * len(reads)
+        abs_ = _make_aligners(instances, params)
         if (self._effective_engine() == "pallas" and len(instances) >= 4
                 and self.pipeline):
             self._run_pipelined(abs_, instances)
@@ -203,15 +217,11 @@ class BatchPOA:
         from ..ops import dp_pallas as dpp
         from ..ops import bt_xla
         params = self.params
-        abs_ = [ABPOA() for _ in instances]
+        abs_ = _make_aligners(instances, params)
         gens = []
         reqs = {}
         for k, reads in enumerate(instances):
             ab = abs_[k]
-            n = len(reads)
-            ab.n_seq = n
-            ab.names = [""] * n
-            ab.is_rc = [0] * n
             seq_lens = [len(q) for q in reads]
             weights = [[1] * L for L in seq_lens]
             rmap, par_anchors, par_c = build_guide_tree_partition(
@@ -474,6 +484,7 @@ class BatchPOA:
         steps = steps[:nb]
         self.dp_seconds += time.perf_counter() - pend["t0"]
         self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
+        from ..graph import NativeGraph
         for b, k in enumerate(group):
             ab = abs_[k]
             q = instances[k][r]
@@ -482,6 +493,14 @@ class BatchPOA:
                 res = align_sequence_to_subgraph(
                     ab.graph, params, SRC_NODE_ID, SINK_NODE_ID, q,
                     arena=ab.arena)
+            elif isinstance(ab.graph, NativeGraph) and not params.rev_cigar:
+                # native fast path: replay the step stream and fuse it in
+                # one C pass, no Python cigar materialization
+                ab.graph.fuse_steps(params, 0, steps[b],
+                                    int(misc[b, dpp.M_NSTEPS]),
+                                    int(misc[b, dpp.M_BJ]),
+                                    int(misc[b, dpp.M_ENDJ]), q, r, True)
+                continue
             else:
                 res = AlignResult()
                 res.best_score = int(misc[b, dpp.M_BEST])
