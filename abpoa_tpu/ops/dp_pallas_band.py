@@ -1,0 +1,804 @@
+"""Pallas TPU kernel v4: mod-WB banded POA DP, G instances per program.
+
+Successor of dp_pallas_fw.py (same math — a mechanical port of the
+dp_xla row body, which is proven cell-exact against the bit-exact oracle;
+ref /root/reference/src/simd_abpoa_align.c:434-1412) with a banded plane
+layout that removes the full-width waste:
+
+  * Planes are [G, R, WB] with WB a small static tile. Row t stores its
+    band window [lo_t, lo_t + WB) with absolute query column c at lane
+    c mod WB (lo_t = beg_sn(t)*pn). Because EVERY row uses the same
+    col -> lane mapping, predecessor-row merges need NO alignment shifts
+    at all: lane l of any row holds the same column modulo WB, and the
+    band-intersection masks (identical to dp_xla's) already restrict reads
+    to columns covered by both windows. The diagonal +1 shift stays a
+    static roll. This deletes the per-predecessor dynamic rolls that made
+    the v1 banded kernel slow, and the (Wq-wide) scans/maxes of the v2
+    full-width kernel shrink to WB lanes.
+  * G=8 instances pack the sublane dimension: (8, WB) int32 tiles fill the
+    8x128 VPU exactly; the per-row op chain is latency-bound, so doubling
+    G doubles throughput at constant chain length.
+  * Per-row control state is PACKED into 16-bit halves of int32 SMEM words
+    (bases|pre_n|out_n|rowmask in one word, predecessor/successor id
+    pairs, beg_sn|end_sn, mpl|mpr) — SMEM is only 1 MB per core and the
+    unpacked G=8 layout did not fit. Requires qlen < 32766 and R <= 4096
+    (the dispatch guards both).
+  * Out-of-band cells inside the window keep the XLA engine's fill pattern
+    (0 residue, inf_min guards), and reads below/above the window return 0,
+    so the in-kernel backtrack sees bit-identical cell values to the
+    oracle's full-width planes.
+  * A row whose band + guard + one spare zero segment exceeds WB raises
+    M_OVFL; the host re-runs that instance on the XLA fallback engine.
+
+VMEM: 5 planes x G x R x WB x 4B (convex) — 63 MB at G=8, R=1024, WB=384.
+Supported: global/extend x linear/affine/convex, banded. Local/unbanded
+fall back to dp_xla as before.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import GLOBAL_MODE, EXTEND_MODE, LINEAR_GAP, CONVEX_GAP
+from .dp_pallas import (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1,
+                        S_OE1, S_E2, S_O2, S_OE2, S_ZDROP, S_DPSN, S_NSCAL,
+                        M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NSTEPS,
+                        M_FAIL, M_ENDI, M_ENDJ, M_NMISC,
+                        BT_M, BT_E1, BT_E2, BT_F1, BT_F2, BT_E, BT_F,
+                        BT_ALL)
+
+NEG = -(1 << 29)
+H16 = 0xFFFF
+
+
+class BandOut(NamedTuple):
+    beg_sn: jax.Array  # [B, R]
+    end_sn: jax.Array
+    mpl: jax.Array
+    mpr: jax.Array
+    misc: jax.Array    # [B, M_NMISC]
+    steps: jax.Array   # [B, bt_lmax]
+
+
+class BandConfig(NamedTuple):
+    gap_mode: int
+    align_mode: int
+    pn: int
+    R: int
+    WB: int      # band tile width (multiple of 128 and of pn)
+    Wq: int      # padded query width (multiple of WB; for the qp fold)
+    P: int
+    O: int
+    m: int
+    use_zdrop: bool
+    bt_lmax: int
+    G: int       # instances packed per program (sublane dim)
+
+
+def _log2(x: int) -> int:
+    return int(x - 1).bit_length()
+
+
+def make_band_kernel(cfg: BandConfig):
+    pn, R, WB, G = cfg.pn, cfg.R, cfg.WB, cfg.G
+    gm = cfg.gap_mode
+    extend = cfg.align_mode == EXTEND_MODE
+    KW1 = cfg.Wq // WB + 1   # folded qp rows per base (last is zeros)
+    NSEG = WB // pn
+    P2 = cfg.P // 2
+    O2 = cfg.O // 2
+
+    def iota():
+        return jax.lax.broadcasted_iota(jnp.int32, (G, WB), 1)
+
+    # per-instance sweep state lives in SMEM (not loop carries): G scalar
+    # carry chains would spill registers past G=4
+    ST_BS, ST_BI, ST_BJ, ST_BREM, ST_STOP, ST_CELLS, ST_OVFL = range(7)
+
+    def kernel(scal, ctrl, preP, outP, remain, mplr0, qpf,
+               bsn_o, mplr_o, misc_o, steps_o,
+               Hb, E1b, E2b, F1b, F2b, colv, qasm, qasm2, stv):
+        l = iota()
+
+        def sc(g, k):
+            return scal[0, g, k]
+
+        def col(c):
+            """(G, 1) column c of the per-g scalar staging buffer."""
+            return colv[:, c:c + 1]
+
+        def pre_at(g, t, p):
+            w = preP[0, g, t * P2 + (p >> 1)]
+            return (w >> (16 * (p & 1))) & H16
+
+        def out_at(g, t, o):
+            w = outP[0, g, t * O2 + (o >> 1)]
+            return (w >> (16 * (o & 1))) & H16
+
+        infs = [sc(g, S_INF) for g in range(G)]
+        qlens = [sc(g, S_QLEN) for g in range(G)]
+        n_rowss = [sc(g, S_NROWS) for g in range(G)]
+        ws = [sc(g, S_W) for g in range(G)]
+        rem_ends = [sc(g, S_REMEND) for g in range(G)]
+        dp_sns = [sc(g, S_DPSN) for g in range(G)]
+        e1 = sc(0, S_E1)
+        o1 = sc(0, S_O1)
+        oe1 = sc(0, S_OE1)
+        e2 = sc(0, S_E2)
+        o2 = sc(0, S_O2)
+        oe2 = sc(0, S_OE2)
+        zdrop = sc(0, S_ZDROP)
+        for g in range(G):
+            colv[g:g + 1, 0:1] = infs[g].reshape(1, 1)
+            colv[g:g + 1, 1:2] = qlens[g].reshape(1, 1)
+            colv[g:g + 1, 2:3] = dp_sns[g].reshape(1, 1)
+        infc = col(0)
+        qlenc = col(1)
+        dpsnc = col(2)
+
+        max_nr = n_rowss[0]
+        for g in range(1, G):
+            max_nr = jnp.maximum(max_nr, n_rowss[g])
+
+        def copy_state(t, _):
+            for g in range(G):
+                mplr_o[0, g, t] = mplr0[0, g, t]
+                bsn_o[0, g, t] = 0
+            return 0
+        jax.lax.fori_loop(0, max_nr, copy_state, 0)
+
+        def ad_bounds(g, t):
+            w = mplr_o[0, g, t]
+            mpl = w & H16
+            mpr = w >> 16
+            rem = remain[0, g, t] - rem_ends[g] - 1
+            beg = jnp.maximum(0, jnp.minimum(mpl, qlens[g] - rem) - ws[g])
+            end = jnp.minimum(qlens[g], jnp.maximum(mpr, qlens[g] - rem)
+                              + ws[g])
+            return beg, end
+
+        # ---------------- first row (ref :553-662) ----------------
+        # row 0's band begins at col 0 (mpl0[0] = 0), so its window is
+        # [0, WB) and lane l holds col l — same expressions as the
+        # full-width kernel, masked to the window.
+        ovfl0 = []
+        for g in range(G):
+            mplr_o[0, g, 0] = 0
+            nout0 = (ctrl[0, g, 0] >> 16) & 0xFF
+            for o in range(cfg.O):
+                @pl.when(o < nout0)
+                def _():
+                    tgt = out_at(g, 0, o)
+                    mplr_o[0, g, tgt] = 1 | (1 << 16)
+            _, end0 = ad_bounds(g, 0)
+            end_sn0 = end0 // pn
+            bsn_o[0, g, 0] = end_sn0 << 16
+            colv[g:g + 1, 3:4] = end_sn0.reshape(1, 1)
+            cap0 = jnp.minimum(end_sn0 + 1, dp_sns[g] - 1)
+            ovfl0.append(cap0 + 2 > NSEG)
+        end_sn0c = col(3)
+        _esn0 = jnp.minimum(end_sn0c + 1, dpsnc - 1)
+        seg0 = l // pn
+        hi_mask = seg0 <= _esn0
+        de_mask = l <= (end_sn0c + 1) * pn - 1
+        inf = infc
+        if gm == LINEAR_GAP:
+            h0 = jnp.where(de_mask, -e1 * l, jnp.where(hi_mask, inf, 0))
+            Hb[:, 0, :] = h0
+        else:
+            f1v = -o1 - e1 * l
+            if gm == CONVEX_GAP:
+                f2v = -o2 - e2 * l
+                hv = jnp.maximum(f1v, f2v)
+            else:
+                hv = f1v
+            h0 = jnp.where(de_mask & (l >= 1), hv,
+                           jnp.where(hi_mask, inf, 0))
+            h0 = jnp.where(l == 0, 0, h0)
+            Hb[:, 0, :] = h0
+            e1r = jnp.where(l == 0, -oe1, jnp.where(hi_mask, inf, 0))
+            E1b[:, 0, :] = e1r
+            f1r = jnp.where(de_mask & (l >= 1), f1v,
+                            jnp.where(l == 0, inf, 0))
+            F1b[:, 0, :] = f1r
+            if gm == CONVEX_GAP:
+                E2b[:, 0, :] = jnp.where(l == 0, -oe2,
+                                         jnp.where(hi_mask, inf, 0))
+                F2b[:, 0, :] = jnp.where(de_mask & (l >= 1), f2v,
+                                         jnp.where(l == 0, inf, 0))
+
+        # ---------------- row sweep ----------------
+        def body(t, _):
+            stops = [stv[g, ST_STOP] > 0 for g in range(G)]
+            ovfls = [stv[g, ST_OVFL] > 0 for g in range(G)]
+            cws = [ctrl[0, g, t] for g in range(G)]
+            npres = [(cws[g] >> 8) & 0xFF for g in range(G)]
+            actives = [(t <= n_rowss[g] - 2) & jnp.logical_not(stops[g])
+                       & (cws[g] >> 24 > 0)
+                       for g in range(G)]
+
+            # --- per-g band + control scalars -> colv columns ---
+            beg_sns = []
+            end_sns = []
+            for g in range(G):
+                beg, end = ad_bounds(g, t)
+                beg_sn = beg // pn
+                min_pb = jnp.int32(1 << 30)
+                for p in range(cfg.P):
+                    pv = p < npres[g]
+                    pred = pre_at(g, t, p)
+                    min_pb = jnp.minimum(
+                        min_pb, jnp.where(pv, bsn_o[0, g, pred] & H16,
+                                          1 << 30))
+                beg_sn = jnp.maximum(beg_sn, min_pb)
+                end_sn = end // pn
+                beg_sns.append(beg_sn)
+                end_sns.append(end_sn)
+
+                bsn_o[0, g, t] = beg_sn | (end_sn << 16)
+                # band + guard + one spare zero segment must fit the tile
+                capg = jnp.minimum(end_sn + 1, dp_sns[g] - 1)
+                stv[g, ST_OVFL] = (ovfls[g]
+                                   | (actives[g]
+                                      & (capg - beg_sn + 2 > NSEG))
+                                   ).astype(jnp.int32)
+                # fold the query profile window [lo, lo+WB) into mod-WB
+                # lanes: col k0*WB + l for l >= lo mod WB, else +WB
+                base = cws[g] & 0xFF
+                lo_g = beg_sn * pn
+                k0 = lo_g // WB
+                # one packed staging store per g: beg|end<<10|lomod<<20
+                colv[g:g + 1, 4:5] = (beg_sn | (end_sn << 10)
+                                      | ((lo_g - k0 * WB) << 20)
+                                      ).reshape(1, 1)
+                qasm[g:g + 1, :] = qpf[0, g,
+                                       pl.ds(base * KW1 + k0, 1), :]
+                qasm2[g:g + 1, :] = qpf[0, g,
+                                        pl.ds(base * KW1 + k0 + 1, 1), :]
+            bel = col(4)
+            lomodc = bel >> 20
+            qwin = jnp.where(l >= lomodc, qasm[:, :], qasm2[:, :])
+            begc = bel & 1023
+            endc = (bel >> 10) & 1023
+            capc = jnp.minimum(endc + 1, dpsnc - 1)
+            # mod-WB column map: lane l holds col c = lo + ((l - lo) % WB)
+            lo = begc * pn
+            rel = jnp.remainder(l - lo, WB)
+            c = lo + rel
+            seg = c // pn
+            band = (seg >= begc) & (seg <= endc)
+            qrow = jnp.where((c >= 1) & (c <= qlenc), qwin, 0)
+
+            # --- merges over predecessors (port of dp_xla._merge_preds) ---
+            h = jnp.zeros((G, WB), jnp.int32)
+            e1v = h
+            e2v = h
+            for p in range(cfg.P):
+                preds = []
+                for g in range(G):
+                    pred = pre_at(g, t, p)
+                    pv = p < npres[g]
+                    pw = bsn_o[0, g, pred]
+                    # one packed store: pbeg|pend<<10|pv<<20 (sentinels
+                    # applied in vector form after the unpack)
+                    colv[g:g + 1, 6:7] = ((pw & H16) | ((pw >> 16) << 10)
+                                          | (pv.astype(jnp.int32) << 20)
+                                          ).reshape(1, 1)
+                    preds.append(pred)
+                # direct loads (no staging-buffer round trip)
+                preH = jnp.concatenate(
+                    [Hb[g, pl.ds(preds[g], 1), :] for g in range(G)],
+                    axis=0) if G > 1 else Hb[0, pl.ds(preds[0], 1), :]
+                if gm != LINEAR_GAP:
+                    preE1 = jnp.concatenate(
+                        [E1b[g, pl.ds(preds[g], 1), :] for g in range(G)],
+                        axis=0) if G > 1 else E1b[0, pl.ds(preds[0], 1), :]
+                    if gm == CONVEX_GAP:
+                        preE2 = jnp.concatenate(
+                            [E2b[g, pl.ds(preds[g], 1), :]
+                             for g in range(G)],
+                            axis=0) if G > 1 \
+                            else E2b[0, pl.ds(preds[0], 1), :]
+                pbel = col(6)
+                pvc = (pbel >> 20) > 0
+                pbegc = jnp.where(pvc, pbel & 1023, 1 << 29)
+                pendc = jnp.where(pvc, (pbel >> 10) & 1023, -(1 << 29))
+                _begc = jnp.maximum(begc, pbegc)
+                _endc = jnp.minimum(jnp.minimum(pendc + 1, endc),
+                                    dpsnc - 1)
+                # both rows store col c at lane c mod WB: the rolled
+                # diagonal is aligned lane-for-lane, no dynamic shift.
+                # At rel==0 the roll wraps to the window's top lane, which
+                # holds pred col lo-1 (mod WB) — exactly the value the
+                # pbeg<beg boundary needs; col 0 itself has no diagonal.
+                cand = pltpu.roll(preH, 1, 1)
+                cand = jnp.where(c == 0, NEG, cand)
+                bcol = _begc * pn
+                boundary = jnp.where(pbegc < begc, cand, infc)
+                cand = jnp.where(c == bcol, boundary, cand)
+                if gm == LINEAR_GAP:
+                    cand = jnp.maximum(cand + qrow, preH - e1)
+                mmask = (seg >= _begc) & (seg <= _endc) & pvc
+                if p == 0:
+                    fill = (((seg >= begc) & (seg < _begc))
+                            | ((seg > _endc) & (seg <= capc)))
+                    h = jnp.where(fill, infc, h)
+                    h = jnp.where(mmask, cand, h)
+                else:
+                    h = jnp.where(mmask, jnp.maximum(h, cand), h)
+                if gm != LINEAR_GAP:
+                    _ende = jnp.minimum(pendc, endc)
+                    emask = (seg >= _begc) & (seg <= _ende) & pvc
+                    if p == 0:
+                        efill = (((seg >= begc) & (seg < _begc))
+                                 | ((seg > _ende) & (seg <= endc)))
+                        e1v = jnp.where(efill, infc, e1v)
+                        e1v = jnp.where(emask, preE1, e1v)
+                        if gm == CONVEX_GAP:
+                            e2v = jnp.where(efill, infc, e2v)
+                            e2v = jnp.where(emask, preE2, e2v)
+                    else:
+                        e1v = jnp.where(emask,
+                                        jnp.maximum(e1v, preE1), e1v)
+                        if gm == CONVEX_GAP:
+                            e2v = jnp.where(emask,
+                                            jnp.maximum(e2v, preE2),
+                                            e2v)
+
+            def kscan_max(gv):
+                """Kogge-Stone running max in band order (rel space)."""
+                for k in range(_log2(WB)):
+                    d = 1 << k
+                    gv = jnp.maximum(gv, jnp.where(rel >= d,
+                                                   pltpu.roll(gv, d, 1),
+                                                   NEG))
+                return gv
+
+            def f_scan(src, e, oe, seed):
+                gv = jnp.where(band, jnp.maximum(src, infc) + rel * e, NEG)
+                M = kscan_max(gv)
+                Pm = jnp.where(rel >= 1, pltpu.roll(M, 1, 1), NEG)
+                F = Pm - oe - (rel - 1) * e
+                F = jnp.where(rel == 0, seed - oe, F)
+                return jnp.maximum(F, infc)
+
+            def seed_of(h0):
+                return jnp.sum(jnp.where(rel == 0, h0, 0), axis=1,
+                               keepdims=True)
+
+            # --- F phase + fold (port of dp_xla row body) ---
+            if gm == LINEAR_GAP:
+                gv = jnp.where(band, jnp.maximum(h, infc) + rel * e1, NEG)
+                hfin = jnp.maximum(kscan_max(gv) - rel * e1, infc)
+                hrow = jnp.where(band, hfin, h)
+            elif gm != CONVEX_GAP:
+                h0 = h + jnp.where(band, qrow, 0)
+                seed = seed_of(h0)
+                f1 = f_scan(jnp.where(band, h0, NEG), e1, oe1, seed)
+                h1 = jnp.maximum(h0, e1v)
+                hh = jnp.maximum(h1, f1)
+                e1n = jnp.maximum(e1v - e1, hh - oe1)
+                e1fin = jnp.where(hh == h1, e1n, infc)
+                hrow = jnp.where(band, hh, h0)
+                e1row = jnp.where(band, e1fin, e1v)
+                f1row = jnp.where(band, f1, 0)
+            else:
+                h0 = h + jnp.where(band, qrow, 0)
+                seed = seed_of(h0)
+                hpf = jnp.maximum(jnp.maximum(h0, e1v), e2v)
+                hpf = jnp.where(band, hpf, NEG)
+                f1 = f_scan(hpf, e1, oe1, seed)
+                f2 = f_scan(hpf, e2, oe2, seed)
+                hh = jnp.maximum(jnp.maximum(hpf, f1), f2)
+                e1n = jnp.maximum(e1v - e1, hh - oe1)
+                e2n = jnp.maximum(e2v - e2, hh - oe2)
+                hrow = jnp.where(band, hh, h0)
+                e1row = jnp.where(band, e1n, e1v)
+                e2row = jnp.where(band, e2n, e2v)
+                f1row = jnp.where(band, f1, 0)
+                f2row = jnp.where(band, f2, 0)
+
+            Hb[:, t, :] = hrow
+            if gm != LINEAR_GAP:
+                E1b[:, t, :] = e1row
+                F1b[:, t, :] = f1row
+            if gm == CONVEX_GAP:
+                E2b[:, t, :] = e2row
+                F2b[:, t, :] = f2row
+
+            # --- row max with reference tie-breaks (port of dp_xla) ---
+            # closed form of the segment-roll ladder: lexicographic argmax
+            # by (value desc, lane-in-segment asc, aux asc); aux is unique
+            # per segment so the order matches the ladder's per-residue
+            # winner + min-lane pick exactly
+            lseg_rel = seg - begc
+            n_segc = endc - begc + 1
+            v = jnp.where(band & (c <= qlenc), hrow, infc)
+            prio = jnp.where(lseg_rel == n_segc - 1, -1, lseg_rel)
+            aux = prio * 1024 + lseg_rel          # minimize aux-major
+            relm = rel - (rel // pn) * pn
+            key = relm * (1 << 15) + (aux + 1024)
+            gmax = jnp.max(v, axis=1, keepdims=True)
+            kpick = jnp.min(jnp.where(v == gmax, key, 1 << 30), axis=1,
+                            keepdims=True)
+            lane_pick = kpick >> 15
+            aux_pick = (kpick & ((1 << 15) - 1)) - 1024
+            wseg_pick = aux_pick - (aux_pick // 1024) * 1024
+            maxi_c = jnp.where(gmax > infc,
+                               (begc + wseg_pick) * pn + lane_pick,
+                               -1)
+
+            for g in range(G):
+                ig = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+                mx = jnp.sum(jnp.where(ig == g, gmax, 0))
+                mi = jnp.sum(jnp.where(ig == g, maxi_c, 0))
+                stop_now = jnp.bool_(False)
+                if extend:
+                    bs = stv[g, ST_BS]
+                    bj = stv[g, ST_BJ]
+                    better = mx > bs
+                    if cfg.use_zdrop:
+                        brem = stv[g, ST_BREM]
+                        delta = brem - remain[0, g, t]
+                        zlim = zdrop + e1 * jnp.abs(delta - (mi - bj))
+                        stop_now = jnp.logical_not(better) \
+                            & (bs - mx > zlim)
+                    take = actives[g] & better
+                    stv[g, ST_BS] = jnp.where(take, mx, bs)
+                    stv[g, ST_BI] = jnp.where(take, t, stv[g, ST_BI])
+                    stv[g, ST_BJ] = jnp.where(take, mi, bj)
+                    stv[g, ST_BREM] = jnp.where(take, remain[0, g, t],
+                                                stv[g, ST_BREM])
+                    stop_now = actives[g] & stop_now
+                    stv[g, ST_STOP] = (stops[g]
+                                       | stop_now).astype(jnp.int32)
+
+                out_i = mi + 1
+                non = (cws[g] >> 16) & 0xFF
+                do_scat = actives[g] & jnp.logical_not(stop_now)
+                for o in range(cfg.O):
+                    oko = do_scat & (o < non)
+                    tgt = out_at(g, t, o)
+                    w = mplr_o[0, g, tgt]
+                    mpl = w & H16
+                    mpr = w >> 16
+                    mpl = jnp.minimum(mpl, jnp.where(oko, out_i,
+                                                     jnp.int32(1 << 29)))
+                    mpr = jnp.maximum(mpr, jnp.where(oko, out_i, NEG))
+                    mplr_o[0, g, tgt] = mpl | (mpr << 16)
+                stv[g, ST_CELLS] = stv[g, ST_CELLS] + jnp.where(
+                    actives[g], (end_sns[g] - beg_sns[g] + 1) * pn, 0)
+            return 0
+
+        for g in range(G):
+            stv[g, ST_BS] = infs[g]
+            stv[g, ST_BI] = 0
+            stv[g, ST_BJ] = 0
+            stv[g, ST_BREM] = remain[0, g, 0]
+            stv[g, ST_STOP] = 0
+            stv[g, ST_CELLS] = 0
+            stv[g, ST_OVFL] = ovfl0[g].astype(jnp.int32)
+        jax.lax.fori_loop(1, jnp.minimum(max_nr - 1, R - 1), body, 0)
+        bss = [stv[g, ST_BS] for g in range(G)]
+        bis = [stv[g, ST_BI] for g in range(G)]
+        bjs = [stv[g, ST_BJ] for g in range(G)]
+        cells = [stv[g, ST_CELLS] for g in range(G)]
+        ovfls = [stv[g, ST_OVFL] > 0 for g in range(G)]
+
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, WB), 1)
+        for g in range(G):
+            if cfg.align_mode == GLOBAL_MODE:
+                sink = n_rowss[g] - 1
+                npre_sink = (ctrl[0, g, sink] >> 8) & 0xFF
+                for p in range(cfg.P):
+                    pv = p < npre_sink
+                    pred = pre_at(g, sink, p)
+                    pw = bsn_o[0, g, pred]
+                    ec = jnp.minimum(qlens[g], ((pw >> 16) + 1) * pn - 1)
+                    lo_p = (pw & H16) * pn
+                    lane = ec - (ec // WB) * WB
+                    row = Hb[g, pl.ds(pred, 1), :]
+                    val = jnp.sum(jnp.where(iq == lane, row, 0))
+                    val = jnp.where((ec >= lo_p) & (ec < lo_p + WB), val, 0)
+                    better = pv & (val > bss[g])
+                    bss[g] = jnp.where(better, val, bss[g])
+                    bis[g] = jnp.where(better, pred, bis[g])
+                    bjs[g] = jnp.where(better, ec, bjs[g])
+            misc_o[0, g, M_BEST] = bss[g]
+            misc_o[0, g, M_BI] = bis[g]
+            misc_o[0, g, M_BJ] = bjs[g]
+            misc_o[0, g, M_CELLS] = cells[g]
+            misc_o[0, g, M_OVFL] = ovfls[g].astype(jnp.int32)
+
+        # ------------- in-kernel backtrack (mod-WB lane reads) -------------
+        if cfg.bt_lmax:
+            for g in range(G):
+                def lane_at(rowv, cc, lo_i):
+                    lane = cc - (cc // WB) * WB
+                    vv = jnp.sum(jnp.where(iq == lane, rowv, 0))
+                    return jnp.where((cc >= lo_i) & (cc < lo_i + WB), vv, 0)
+
+                def cell2(ref, i, j):
+                    lo_i = (bsn_o[0, g, i] & H16) * pn
+                    rowv = ref[g, pl.ds(i, 1), :]
+                    return (lane_at(rowv, j, lo_i),
+                            lane_at(rowv, j - 1, lo_i))
+
+                def in_band_bt(i, cc):
+                    w = bsn_o[0, g, i]
+                    return (((w & H16) * pn <= cc)
+                            & (cc <= ((w >> 16) + 1) * pn - 1))
+
+                def qp_at(base, j):
+                    k0 = j // WB
+                    rowv = qpf[0, g, pl.ds(base * KW1 + k0, 1), :]
+                    lane = j - k0 * WB
+                    return jnp.sum(jnp.where(iq == lane, rowv, 0))
+
+                def bt_body(state):
+                    i, j, cur_op, if_, nst, fail, done = state
+                    hij, h_prev = cell2(Hb, i, j)
+                    base = ctrl[0, g, i] & 0xFF
+                    npre_i = (ctrl[0, g, i] >> 8) & 0xFF
+                    s = qp_at(base, j)
+                    if gm != LINEAR_GAP:
+                        e1ij, _ = cell2(E1b, i, j)
+                        f1ij, f1prev = cell2(F1b, i, j)
+                    if gm == CONVEX_GAP:
+                        e2ij, _ = cell2(E2b, i, j)
+                        f2ij, f2prev = cell2(F2b, i, j)
+                    m_hits = []
+                    e_conds = []
+                    e_newop = []
+                    e_pred = []
+                    for p in range(cfg.P):
+                        pre = pre_at(g, i, p)
+                        pv = p < npre_i
+                        hpre, hpre1 = cell2(Hb, pre, j)
+                        m_hits.append(pv & in_band_bt(pre, j - 1)
+                                      & (hpre1 + s == hij))
+                        okp = pv & in_band_bt(pre, j)
+                        if gm != LINEAR_GAP:
+                            e1pre, _ = cell2(E1b, pre, j)
+                            hit_m = (cur_op & BT_M > 0) & (hij == e1pre)
+                            hit_x = (cur_op & BT_M == 0) \
+                                & (e1ij == e1pre - e1)
+                            e_conds.append(okp & (cur_op & BT_E1 > 0)
+                                           & (hit_m | hit_x))
+                            e_newop.append(jnp.where(
+                                hpre - oe1 == e1pre,
+                                jnp.int32(BT_M | BT_F), jnp.int32(BT_E1)))
+                            e_pred.append(pre)
+                            if gm == CONVEX_GAP:
+                                e2pre, _ = cell2(E2b, pre, j)
+                                hm2 = (cur_op & BT_M > 0) & (hij == e2pre)
+                                hx2 = (cur_op & BT_M == 0) \
+                                    & (e2ij == e2pre - e2)
+                                e_conds.append(okp & (cur_op & BT_E2 > 0)
+                                               & (hm2 | hx2))
+                                e_newop.append(jnp.where(
+                                    hpre - oe2 == e2pre,
+                                    jnp.int32(BT_M | BT_F),
+                                    jnp.int32(BT_E2)))
+                                e_pred.append(pre)
+                        else:
+                            e_conds.append(okp & (hpre - e1 == hij))
+                            e_newop.append(jnp.int32(BT_ALL))
+                            e_pred.append(pre)
+                    m_pick = jnp.int32(-1)
+                    for k in reversed(range(cfg.P)):
+                        m_pick = jnp.where(m_hits[k], jnp.int32(k), m_pick)
+                    m_possible = m_pick >= 0
+                    e_pick = jnp.int32(-1)
+                    for k in reversed(range(len(e_conds))):
+                        e_pick = jnp.where(e_conds[k], jnp.int32(k),
+                                           e_pick)
+                    e_possible = e_pick >= 0
+                    e_pred_sel = jnp.int32(0)
+                    e_op_sel = jnp.int32(BT_ALL)
+                    for k in range(len(e_conds)):
+                        selk = e_pick == k
+                        e_pred_sel = jnp.where(selk, e_pred[k], e_pred_sel)
+                        e_op_sel = jnp.where(selk, e_newop[k], e_op_sel)
+                    if gm == LINEAR_GAP:
+                        f_possible = h_prev - e1 == hij
+                        f_op_sel = jnp.int32(BT_ALL)
+                    else:
+                        f1_open = h_prev - oe1 == f1ij
+                        f1_ext = f1prev - e1 == f1ij
+                        f1_gate = jnp.where(cur_op & BT_M > 0,
+                                            hij == f1ij, True)
+                        hit_f1 = (cur_op & BT_F1 > 0) & f1_gate \
+                            & (f1_open | f1_ext)
+                        op_f1 = jnp.where(f1_open, jnp.int32(BT_M | BT_E),
+                                          jnp.int32(BT_F1))
+                        if gm == CONVEX_GAP:
+                            f2_open = h_prev - oe2 == f2ij
+                            f2_ext = f2prev - e2 == f2ij
+                            f2_gate = jnp.where(cur_op & BT_M > 0,
+                                                hij == f2ij, True)
+                            hit_f2 = (cur_op & BT_F2 > 0) & f2_gate \
+                                & (f2_open | f2_ext)
+                            op_f2 = jnp.where(f2_open,
+                                              jnp.int32(BT_M | BT_E),
+                                              jnp.int32(BT_F2))
+                        else:
+                            hit_f2 = jnp.bool_(False)
+                            op_f2 = jnp.int32(BT_ALL)
+                        f_possible = hit_f1 | hit_f2
+                        f_op_sel = jnp.where(hit_f1, op_f1, op_f2)
+                    use_m1 = (cur_op & BT_M > 0) & jnp.logical_not(if_) \
+                        & m_possible
+                    if gm == LINEAR_GAP:
+                        use_e = jnp.logical_not(use_m1) & e_possible
+                    else:
+                        use_e = jnp.logical_not(use_m1) \
+                            & (cur_op & BT_E > 0) & e_possible
+                    use_f = (jnp.logical_not(use_m1)
+                             & jnp.logical_not(use_e) & f_possible)
+                    if gm != LINEAR_GAP:
+                        use_f = use_f & (cur_op & BT_F > 0)
+                    if gm == LINEAR_GAP:
+                        use_m2 = (jnp.logical_not(use_m1)
+                                  & jnp.logical_not(use_e)
+                                  & jnp.logical_not(use_f) & if_
+                                  & m_possible)
+                    else:
+                        use_m2 = (jnp.logical_not(use_m1)
+                                  & jnp.logical_not(use_e)
+                                  & jnp.logical_not(use_f)
+                                  & (cur_op & BT_M > 0) & if_ & m_possible)
+                    any_hit = use_m1 | use_e | use_f | use_m2
+                    fail = fail | jnp.logical_not(any_hit)
+                    use_m = use_m1 | use_m2
+                    m_pred = jnp.int32(0)
+                    for p in range(cfg.P):
+                        m_pred = jnp.where(m_pick == p, pre_at(g, i, p),
+                                           m_pred)
+                    op_code = jnp.where(use_m, 0,
+                                        jnp.where(use_e, 2, 1))
+
+                    @pl.when(any_hit)
+                    def _():
+                        steps_o[0, g, nst] = op_code | (i << 2) | (j << 14)
+                    nst = jnp.where(any_hit, nst + 1, nst)
+                    new_i = jnp.where(use_m, m_pred,
+                                      jnp.where(use_e, e_pred_sel, i))
+                    new_j = jnp.where(use_m | use_f, j - 1, j)
+                    new_cur = jnp.where(
+                        use_m, jnp.int32(BT_ALL),
+                        jnp.where(use_e, e_op_sel,
+                                  jnp.where(use_f, f_op_sel, cur_op)))
+                    new_if = jnp.where(use_m, jnp.bool_(False), if_)
+                    done = fail | (new_i <= 0) | (new_j <= 0)
+                    return (new_i, new_j, new_cur, new_if, nst, fail,
+                            done)
+
+                def bt_cond(state):
+                    i, j, cur_op, if_, nst, fail, done = state
+                    return jnp.logical_not(done) & (nst < cfg.bt_lmax)
+
+                # overflowed instances skip the backtrack (host re-runs
+                # them on the fallback engine anyway)
+                bt_init = (bis[g], bjs[g], jnp.int32(BT_ALL),
+                           jnp.bool_(True), jnp.int32(0), jnp.bool_(False),
+                           (bis[g] <= 0) | (bjs[g] <= 0) | ovfls[g])
+                (ei, ej, _, _, nst, btfail, _) = jax.lax.while_loop(
+                    bt_cond, bt_body, bt_init)
+                misc_o[0, g, M_NSTEPS] = nst
+                misc_o[0, g, M_FAIL] = btfail.astype(jnp.int32)
+                misc_o[0, g, M_ENDI] = ei
+                misc_o[0, g, M_ENDJ] = ej
+        else:
+            for g in range(G):
+                misc_o[0, g, M_NSTEPS] = 0
+                misc_o[0, g, M_FAIL] = 0
+                misc_o[0, g, M_ENDI] = 0
+                misc_o[0, g, M_ENDJ] = 0
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 12))
+def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
+                      out_idx, out_n, remain, qcodes, mpl0, mpr0, rowmask,
+                      interpret=False):
+    """Batched mod-WB banded DP+backtrack. B must be a multiple of cfg.G;
+    arrays are [B, ...] (narrow dtypes fine) and get grouped [B/G, G, ...].
+    Requires qlen < 32766, R <= 4096, and even P/O (control words pack
+    16-bit halves); the dispatcher guarantees all three.
+    """
+    B = bases.shape[0]
+    G = cfg.G
+    assert B % G == 0
+    assert cfg.Wq % cfg.WB == 0 and cfg.WB % cfg.pn == 0
+    assert cfg.P % 2 == 0 and cfg.O % 2 == 0 and cfg.R <= 4096
+    NP_ = B // G
+    R, WB = cfg.R, cfg.WB
+    KW = cfg.Wq // WB
+    gm_ = cfg.gap_mode
+    i32 = jnp.int32
+    scal, mat = scal[:, :S_NSCAL].astype(i32), scal[:, S_NSCAL:]
+    codes = qcodes.astype(i32)
+    onehot = (codes[:, None, :]
+              == jnp.arange(cfg.m, dtype=i32)[None, :, None])
+    matb = mat.reshape(B, cfg.m, cfg.m).astype(i32)
+    qp = jnp.einsum("bkc,bcj->bkj", matb, onehot.astype(i32),
+                    preferred_element_type=i32)
+    # fold the query profile to mod-WB rows: [B, m, KW+1, WB] with a
+    # trailing zero fold per base (reads past Wq land there)
+    qpf = jnp.concatenate(
+        [qp.reshape(B, cfg.m, KW, WB),
+         jnp.zeros((B, cfg.m, 1, WB), i32)], axis=2)
+    qpf = qpf.reshape(B, cfg.m * (KW + 1), WB)
+
+    # pack the per-row control streams into 16-bit halves (SMEM is 1 MB)
+    ctrl = (bases.astype(i32) | (pre_n.astype(i32) << 8)
+            | (out_n.astype(i32) << 16) | (rowmask.astype(i32) << 24))
+    pre2 = pre_idx.astype(i32).reshape(B, R * cfg.P // 2, 2)
+    preP = pre2[:, :, 0] | (pre2[:, :, 1] << 16)
+    out2 = out_idx.astype(i32).reshape(B, R * cfg.O // 2, 2)
+    outP = out2[:, :, 0] | (out2[:, :, 1] << 16)
+    mplr0 = mpl0.astype(i32) | (mpr0.astype(i32) << 16)
+
+    def grp(x, *shape):
+        return x.astype(i32).reshape(NP_, G, *(shape if shape else (-1,)))
+
+    kern = make_band_kernel(cfg)
+
+    def vmem(*shape):
+        return pl.BlockSpec((1, G, *shape),
+                            lambda b: (b, 0, *([0] * len(shape))),
+                            memory_space=pltpu.VMEM)
+
+    def smem(*shape):
+        return pl.BlockSpec((1, G, *shape),
+                            lambda b: (b, 0, *([0] * len(shape))),
+                            memory_space=pltpu.SMEM)
+
+    LS = max(cfg.bt_lmax, 8)
+    out_shapes = (
+        jax.ShapeDtypeStruct((NP_, G, R), i32),       # beg_sn|end_sn<<16
+        jax.ShapeDtypeStruct((NP_, G, R), i32),       # mpl|mpr<<16
+        jax.ShapeDtypeStruct((NP_, G, M_NMISC), i32),
+        jax.ShapeDtypeStruct((NP_, G, LS), i32),      # steps
+    )
+    out_specs = (smem(R), smem(R), smem(M_NMISC), smem(LS))
+    in_specs = [smem(S_NSCAL), smem(R), smem(R * cfg.P // 2),
+                smem(R * cfg.O // 2), smem(R), smem(R),
+                vmem(cfg.m * (KW + 1), WB)]
+    full = pltpu.VMEM((G, R, WB), i32)
+    dummy = pltpu.VMEM((G, 1, 128), i32)
+    if gm_ == CONVEX_GAP:
+        planes_scratch = [full, full, full, full, full]
+    elif gm_ == LINEAR_GAP:
+        planes_scratch = [full, dummy, dummy, dummy, dummy]
+    else:
+        planes_scratch = [full, full, dummy, full, dummy]
+    outs = pl.pallas_call(
+        kern,
+        grid=(NP_,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=planes_scratch + [
+            pltpu.VMEM((G, 128), i32),   # colv per-g scalar staging
+            pltpu.VMEM((G, WB), i32),    # qasm (qp fold A)
+            pltpu.VMEM((G, WB), i32),    # qasm2 (qp fold B)
+            pltpu.SMEM((G, 8), i32),     # per-instance sweep state
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(grp(scal), grp(ctrl), grp(preP), grp(outP), grp(remain),
+      grp(mplr0), grp(qpf, cfg.m * (KW + 1), WB))
+    (bsn, mplr, misc, steps) = outs
+    bsn = bsn.reshape(B, R)
+    mplr = mplr.reshape(B, R)
+    return BandOut(bsn & H16, bsn >> 16, mplr & H16, mplr >> 16,
+                   misc.reshape(B, M_NMISC), steps.reshape(B, LS))

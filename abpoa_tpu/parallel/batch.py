@@ -86,9 +86,19 @@ class BatchPOA:
     def _device_call(self, cfg, batched):
         import time
         import jax
+        import jax.numpy as jnp
         from ..ops.dp_xla import banded_poa_dp_batch
+        nb = int(batched.bases.shape[0])
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            ndev = int(np.prod(list(self.mesh.shape.values())))
+            pad = (-nb) % ndev
+            if pad:  # shard over the mesh needs B % ndev == 0
+                batched = jax.tree.map(
+                    lambda x: jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1],
+                                             (pad,) + x.shape[1:])])
+                    if getattr(x, "ndim", 0) else x, batched)
             sh = NamedSharding(self.mesh, P(self.batch_axis))
             batched = jax.device_put(batched,
                                      jax.tree.map(lambda _: sh, batched))
@@ -96,7 +106,7 @@ class BatchPOA:
         out = banded_poa_dp_batch(cfg, batched)
         out = jax.block_until_ready(out)
         self.dp_seconds += time.perf_counter() - t0
-        self.dp_cells += int(np.sum(np.asarray(out.n_cells)))
+        self.dp_cells += int(np.sum(np.asarray(out.n_cells)[:nb]))
         return out
 
     def run(self, instances) -> list[ABPOA]:
@@ -388,15 +398,25 @@ class BatchPOA:
         Wq = max((dg.qlen // 128 + 1) * 128 for dg in dgs)
         LMAX = ((dgs[0].R + Wq) + 511) // 512 * 512
         R = dgs[0].R
-        # full-width kernel (dp_pallas_fw) when the planes fit VMEM;
-        # otherwise the banded-tile kernel
         nplanes = {LINEAR_GAP: 1, CONVEX_GAP: 5}.get(params.gap_mode, 3)
-        G = 0
-        for g in (4, 2, 1):
-            if nplanes * g * R * Wq * 4 <= 100 * 1024 * 1024:
-                G = g
+        # v4 mod-WB banded kernel: G instances per program on [G, R, WB]
+        # planes; per-instance band overflow falls back via M_OVFL
+        Gb = 0
+        for g in (8, 4, 2, 1):
+            if nplanes * g * R * WB * 4 <= 100 * 1024 * 1024:
+                Gb = g
                 break
-        use_fw = G > 0
+        # packed 16-bit control words need qlen < 32766 and R <= 4096
+        use_band = Gb > 0 and Wq < 32000 and R <= 4096
+        if not use_band:
+            # full-width kernel (dp_pallas_fw) when its planes fit VMEM;
+            # otherwise the v1 banded-tile kernel
+            G = 0
+            for g in (4, 2, 1):
+                if nplanes * g * R * Wq * 4 <= 100 * 1024 * 1024:
+                    G = g
+                    break
+            use_fw = G > 0
         # the packed backtrack step is op|row<<2|col<<14: rows need <=12
         # bits and cols <=17; larger problems use the XLA fallback engine
         if R > 4096 or Wq >= (1 << 17):
@@ -404,7 +424,8 @@ class BatchPOA:
             out = self._device_call(cfg, batched)
             self._finish_round(abs_, group, dgs, out, r, instances)
             return None
-        cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=Wq,
+        WqB = (Wq + WB - 1) // WB * WB if use_band else Wq
+        cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB, force_Wq=WqB,
                                               bt_lmax=LMAX)
                            for dg in dgs))
         cfg = cfgs[0]
@@ -412,12 +433,19 @@ class BatchPOA:
         nb = len(dgs)
         ndev = int(np.prod(list(self.mesh.shape.values()))) \
             if self.mesh is not None else 1
-        chunk = (G if use_fw else 1) * ndev
+        chunk = (Gb if use_band else (G if use_fw else 1)) * ndev
         pad = (-nb) % chunk
         stacked_np = [np.stack([a[i] for a in arrs] + [arrs[0][i]] * pad)
                       for i in range(len(arrs[0]))]
         t0 = time.perf_counter()
-        if use_fw:
+        if use_band:
+            from ..ops.dp_pallas_band import BandConfig, band_poa_dp_batch
+            bc = BandConfig(gap_mode=cfg.gap_mode,
+                            align_mode=cfg.align_mode, pn=cfg.pn, R=R,
+                            WB=WB, Wq=WqB, P=cfg.P, O=cfg.O, m=cfg.m,
+                            use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=Gb)
+            kern_fn = lambda *a: band_poa_dp_batch(bc, *a)  # noqa: E731
+        elif use_fw:
             from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
             fwc = FWConfig(gap_mode=cfg.gap_mode, align_mode=cfg.align_mode,
                            pn=cfg.pn, R=R, Wq=Wq, P=cfg.P, O=cfg.O,
@@ -435,7 +463,8 @@ class BatchPOA:
             import jax
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
-            key = (fwc if use_fw else cfg, id(self.mesh), len(stacked_np))
+            key = (bc if use_band else (fwc if use_fw else cfg),
+                   id(self.mesh), len(stacked_np))
             cache = getattr(self, "_mesh_kern_cache", None)
             if cache is None:
                 cache = self._mesh_kern_cache = {}

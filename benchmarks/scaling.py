@@ -4,26 +4,28 @@
 Targets the BASELINE.md north-star metric "consensus-windows/s scaling
 efficiency from 1 host to 2 hosts". Instances are independent, so the DP
 shards data-parallel over a jax.sharding.Mesh with no collectives
-(parallel/batch.py); scaling is bounded by the host-side graph work per
-process, which shards with jax.distributed across hosts.
+(parallel/batch.py); across hosts the INSTANCE LIST shards per process and
+host 0 gathers the rendered output (parallel/multihost.py).
 
 Modes:
-  python benchmarks/scaling.py             # devices on this process
-  python benchmarks/scaling.py --cpu N     # N virtual CPU devices (no TPU)
+  python benchmarks/scaling.py                  # device sweep, this process
+  python benchmarks/scaling.py --cpu N          # N virtual CPU devices
+  python benchmarks/scaling.py --hosts M --cpu N [--out cons.fa]
+      # spawns M worker processes x N virtual CPU devices each, runs the
+      # distributed pipeline via jax.distributed + multihost gather, and
+      # prints strong-scaling efficiency vs a 1-process run of the same
+      # global workload. On a real pod slice, launch one worker per host
+      # with --worker --coordinator <host0:port> instead.
 
-On a multi-host pod slice, launch one process per host with
-jax.distributed.initialize() (standard JAX recipe); each host runs its own
-BatchPOA over its shard of the instance list and writes consensus FASTA for
-its shard; host 0 concatenates. Windows/s scales with hosts because
-instances never communicate.
-
-Prints one JSON line per device count.
+Prints one JSON line per measurement.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
+import subprocess
 import sys
 import time
 
@@ -33,34 +35,23 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", type=int, default=0,
-                    help="use N virtual CPU devices instead of the TPU")
-    ap.add_argument("--instances", type=int, default=32)
-    ap.add_argument("--fixture", default="heter.fa")
-    args = ap.parse_args()
+def _load_instances(fixture: str, n: int):
+    from abpoa_tpu.seqio import read_seqs
+    from abpoa_tpu.alphabet import encode_table
+    tab = encode_table(5)
+    recs = read_seqs(str(REPO / "tests" / "data" / fixture))
+    reads = [tab[np.frombuffer(r.seq.encode(), dtype=np.uint8)]
+             for r in recs]
+    return [reads] * n
 
-    import os
-    if args.cpu:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                                   + f" --xla_force_host_platform_device_"
-                                     f"count={args.cpu}")
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+
+def device_sweep(args):
     import jax
     from jax.sharding import Mesh
     from abpoa_tpu.params import Params
     from abpoa_tpu.parallel import BatchPOA
-    from abpoa_tpu.seqio import read_seqs
-    from abpoa_tpu.alphabet import encode_table
 
-    tab = encode_table(5)
-    recs = read_seqs(str(REPO / "tests" / "data" / args.fixture))
-    reads = [tab[np.frombuffer(r.seq.encode(), dtype=np.uint8)]
-             for r in recs]
-    instances = [reads] * args.instances
-
+    instances = _load_instances(args.fixture, args.instances)
     devs = jax.devices()
     counts = sorted({1, max(1, len(devs) // 2), len(devs)})
     base_rate = None
@@ -80,6 +71,124 @@ def main():
             "efficiency_vs_1dev": round(rate / (base_rate * nd), 3),
             "wall_s": round(dt, 3), "cells": bp.dp_cells,
         }))
+
+
+def worker(args):
+    """One process of a multi-host run (also used for the 1-host
+    denominator with --num-processes 1)."""
+    import jax
+    if args.platform:
+        # the JAX_PLATFORMS env var alone loses to a preset platform
+        # plugin (the TPU tunnel); the config knob wins
+        jax.config.update("jax_platforms", args.platform)
+    from abpoa_tpu.params import Params
+    from abpoa_tpu.parallel import multihost as mh
+
+    if args.num_processes > 1:
+        mh.initialize(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+    instances = _load_instances(args.fixture, args.instances)
+    params = Params().post_set()
+    # warm compile (per process), then the timed run
+    mh.run_consensus_fasta(Params().post_set(), instances,
+                           engine=args.engine)
+    stats = {}
+    t0 = time.perf_counter()
+    out = mh.run_consensus_fasta(Params().post_set(), instances,
+                                 engine=args.engine, stats=stats)
+    wall = time.perf_counter() - t0
+    if jax.process_index() == 0 and args.out:
+        pathlib.Path(args.out).write_text(out)
+    print(json.dumps({
+        "process": jax.process_index(), "hosts": args.num_processes,
+        "local_devices": jax.local_device_count(),
+        "wall_s": round(wall, 3),
+        "windows_per_s": round(args.instances / wall, 3),
+        **{k: (round(v, 4) if isinstance(v, float) else v)
+           for k, v in stats.items()},
+    }), flush=True)
+
+
+def hosts_launcher(args):
+    """Spawn N worker processes on this machine (CPU devices) and report
+    strong-scaling efficiency vs a 1-process run of the same workload."""
+    port = 17835 + (os.getpid() % 1000)
+
+    def spawn(num_procs, pid, out=None):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                            f"{args.cpu or 4}")
+        cmd = [sys.executable, __file__, "--worker", "--platform", "cpu",
+               "--num-processes", str(num_procs),
+               "--process-id", str(pid),
+               "--coordinator", f"localhost:{port}",
+               "--instances", str(args.instances),
+               "--fixture", args.fixture, "--engine", args.engine]
+        if out:
+            cmd += ["--out", out]
+        return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                text=True)
+
+    # 1-host denominator (same global workload)
+    p = spawn(1, 0)
+    line1 = json.loads(p.communicate()[0].strip().splitlines()[-1])
+    assert p.returncode == 0
+    rate1 = line1["windows_per_s"]
+    print(json.dumps(line1))
+
+    procs = [spawn(args.hosts, i, out=args.out if i == 0 else None)
+             for i in range(args.hosts)]
+    outs = [pr.communicate()[0] for pr in procs]
+    assert all(pr.returncode == 0 for pr in procs), outs
+    lines = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    for ln in lines:
+        print(json.dumps(ln))
+    rateN = lines[0]["windows_per_s"]  # wall-clock of the gathered run
+    print(json.dumps({
+        "metric": "host_scaling_efficiency",
+        "hosts": args.hosts,
+        "windows_per_s_1host": rate1,
+        "windows_per_s_Nhosts": rateN,
+        "efficiency": round(rateN / (args.hosts * rate1), 3),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="use N virtual CPU devices instead of the TPU")
+    ap.add_argument("--instances", type=int, default=32)
+    ap.add_argument("--fixture", default="heter.fa")
+    ap.add_argument("--engine", default="xla",
+                    help="xla (portable) or pallas (TPU)")
+    ap.add_argument("--hosts", type=int, default=0,
+                    help="spawn N local worker processes (CPU validation "
+                         "of the multi-host path)")
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform in worker mode (cpu)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="localhost:17835")
+    ap.add_argument("--out", default=None,
+                    help="host 0 writes the gathered consensus FASTA here")
+    args = ap.parse_args()
+
+    if args.worker:
+        return worker(args)
+    if args.hosts:
+        return hosts_launcher(args)
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_"
+                                     f"count={args.cpu}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    device_sweep(args)
 
 
 if __name__ == "__main__":
