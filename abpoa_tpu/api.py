@@ -37,30 +37,35 @@ class ABPOA:
         self.cons = Consensus()
 
     # -------------------------------------------------------------- #
+    def poa_one(self, params: Params, qseq, weight, read_id: int):
+        """Align + (optional amb-strand rc retry) + fuse ONE read — the
+        body of the reference's plain POA loop (ref abpoa_poa
+        src/abpoa_align.c:302-344, rc retry at :315). Shared by the
+        sequential loop and the batched driver's amb-strand handling."""
+        qlen = len(qseq)
+        res = aln.align_sequence_to_graph(self.graph, params, qseq,
+                                          arena=self.arena)
+        if res is not None and params.amb_strand:
+            thres = (min(qlen, self.graph.node_n - 2)
+                     * params.max_mat * .3333)
+            if res.best_score < thres:
+                rc_qseq = revcomp_codes(np.asarray(qseq))
+                rc_weight = list(weight[::-1])
+                rc_res = aln.align_sequence_to_graph(
+                    self.graph, params, rc_qseq, arena=self.arena)
+                if rc_res.best_score > res.best_score:
+                    res = rc_res
+                    qseq = rc_qseq
+                    weight = rc_weight
+                    self.is_rc[read_id] = 1
+        cigar = res.cigar if res is not None else []
+        self.graph.add_graph_alignment(params, qseq, weight, cigar, None,
+                                       read_id, True)
+
     def poa(self, params: Params, seqs, weights, exist_n_seq: int):
         """plain iterative POA (ref abpoa_poa src/abpoa_align.c:302-344)."""
         for i, qseq in enumerate(seqs):
-            qlen = len(qseq)
-            weight = weights[i]
-            read_id = exist_n_seq + i
-            res = aln.align_sequence_to_graph(self.graph, params, qseq,
-                                              arena=self.arena)
-            if res is not None and params.amb_strand:
-                thres = (min(qlen, self.graph.node_n - 2)
-                         * params.max_mat * .3333)
-                if res.best_score < thres:
-                    rc_qseq = revcomp_codes(np.asarray(qseq))
-                    rc_weight = list(weight[::-1])
-                    rc_res = aln.align_sequence_to_graph(
-                        self.graph, params, rc_qseq, arena=self.arena)
-                    if rc_res.best_score > res.best_score:
-                        res = rc_res
-                        qseq = rc_qseq
-                        weight = rc_weight
-                        self.is_rc[read_id] = 1
-            cigar = res.cigar if res is not None else []
-            self.graph.add_graph_alignment(params, qseq, weight, cigar, None,
-                                           read_id, True)
+            self.poa_one(params, qseq, weights[i], exist_n_seq + i)
 
     def anchor_poa(self, params: Params, seqs, weights, seq_lens, par_anchors,
                    par_c, read_id_map, exist_n_seq: int):

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..params import GLOBAL_MODE, EXTEND_MODE, LINEAR_GAP, CONVEX_GAP
+from ..params import (GLOBAL_MODE, LOCAL_MODE, EXTEND_MODE, LINEAR_GAP,
+                      CONVEX_GAP)
 from .dp_pallas import (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1,
                         S_OE1, S_E2, S_O2, S_OE2, S_ZDROP, S_DPSN, S_NSCAL,
                         M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NSTEPS,
@@ -67,6 +68,9 @@ class FWConfig(NamedTuple):
     use_zdrop: bool
     bt_lmax: int
     G: int       # instances packed per program (sublane dim)
+    banded: bool = True   # False: unbanded (-b -1), beg=0 end=qlen per row
+    # local mode (-m1, always unbanded): zero first row, 0-clamped cells,
+    # best = max over all cells (ref simd_abpoa_align.c local paths)
 
 
 def _log2(x: int) -> int:
@@ -77,6 +81,8 @@ def make_fw_kernel(cfg: FWConfig):
     pn, R, Wq, G = cfg.pn, cfg.R, cfg.Wq, cfg.G
     gm = cfg.gap_mode
     extend = cfg.align_mode == EXTEND_MODE
+    local = cfg.align_mode == LOCAL_MODE
+    track_best = extend or local
 
     def iota():
         return jax.lax.broadcasted_iota(jnp.int32, (G, Wq), 1)
@@ -144,6 +150,10 @@ def make_fw_kernel(cfg: FWConfig):
         jax.lax.fori_loop(0, max_nr, copy_state, 0)
 
         def ad_bounds(g, t):
+            if not cfg.banded:
+                # reference: band disabled (wb < 0) computes full rows
+                # (GET_AD_DP_BEGIN/END gated on wb, abpoa_align.h:31-35)
+                return jnp.int32(0), qlens[g]
             rem = remain[0, g, t] - rem_ends[g] - 1
             beg = jnp.maximum(0, jnp.minimum(mpl_o[0, g, t],
                                              qlens[g] - rem) - ws[g])
@@ -171,7 +181,17 @@ def make_fw_kernel(cfg: FWConfig):
         hi_mask = seg <= _esn0
         de_mask = l <= (end_sn0c + 1) * pn - 1
         inf = infc
-        if gm == LINEAR_GAP:
+        if local:
+            # ref: local first row is all zeros (dp_xla _init_row local)
+            z = jnp.zeros((G, Wq), jnp.int32)
+            Hb[:, 0, :] = z
+            if gm != LINEAR_GAP:
+                E1b[:, 0, :] = z
+                F1b[:, 0, :] = z
+            if gm == CONVEX_GAP:
+                E2b[:, 0, :] = z
+                F2b[:, 0, :] = z
+        elif gm == LINEAR_GAP:
             h0 = jnp.where(de_mask, -e1 * l, jnp.where(hi_mask, inf, 0))
             Hb[:, 0, :] = h0
         else:
@@ -258,21 +278,30 @@ def make_fw_kernel(cfg: FWConfig):
                 pbegc = col(6)
                 pendc = col(7)
                 pvc = col(8) > 0
-                _begc = jnp.maximum(begc, pbegc)
-                _endc = jnp.minimum(jnp.minimum(pendc + 1, endc),
-                                    dpsnc - 1)
+                if local:
+                    # ref local: merges span the full row, boundary = 0
+                    _begc = begc
+                    _endc = endc
+                else:
+                    _begc = jnp.maximum(begc, pbegc)
+                    _endc = jnp.minimum(jnp.minimum(pendc + 1, endc),
+                                        dpsnc - 1)
                 preH = asmH[:, :]
                 cand = jnp.where(l >= 1, pltpu.roll(preH, 1, 1), NEG)
                 bcol = _begc * pn
-                boundary = jnp.where(pbegc < begc, cand, infc)
+                if local:
+                    boundary = jnp.zeros((G, 1), jnp.int32)
+                else:
+                    boundary = jnp.where(pbegc < begc, cand, infc)
                 cand = jnp.where(l == bcol, boundary, cand)
                 if gm == LINEAR_GAP:
                     cand = jnp.maximum(cand + qrow, preH - e1)
                 mmask = (seg >= _begc) & (seg <= _endc) & pvc
                 if p == 0:
-                    fill = (((seg >= begc) & (seg < _begc))
-                            | ((seg > _endc) & (seg <= capc)))
-                    h = jnp.where(fill, infc, h)
+                    if not local:
+                        fill = (((seg >= begc) & (seg < _begc))
+                                | ((seg > _endc) & (seg <= capc)))
+                        h = jnp.where(fill, infc, h)
                     h = jnp.where(mmask, cand, h)
                 else:
                     h = jnp.where(mmask, jnp.maximum(h, cand), h)
@@ -280,12 +309,14 @@ def make_fw_kernel(cfg: FWConfig):
                     _ende = jnp.minimum(pendc, endc)
                     emask = (seg >= _begc) & (seg <= _ende) & pvc
                     if p == 0:
-                        efill = (((seg >= begc) & (seg < _begc))
-                                 | ((seg > _ende) & (seg <= endc)))
-                        e1v = jnp.where(efill, infc, e1v)
+                        if not local:
+                            efill = (((seg >= begc) & (seg < _begc))
+                                     | ((seg > _ende) & (seg <= endc)))
+                            e1v = jnp.where(efill, infc, e1v)
                         e1v = jnp.where(emask, asmE1[:, :], e1v)
                         if gm == CONVEX_GAP:
-                            e2v = jnp.where(efill, infc, e2v)
+                            if not local:
+                                e2v = jnp.where(efill, infc, e2v)
                             e2v = jnp.where(emask, asmE2[:, :], e2v)
                     else:
                         e1v = jnp.where(emask,
@@ -315,6 +346,8 @@ def make_fw_kernel(cfg: FWConfig):
                 rel = l - lo
                 gv = jnp.where(band, jnp.maximum(h, infc) + rel * e1, NEG)
                 hfin = jnp.maximum(kscan_max(gv) - rel * e1, infc)
+                if local:
+                    hfin = jnp.maximum(hfin, 0)
                 hrow = jnp.where(band, hfin, h)
             elif gm != CONVEX_GAP:
                 h0 = h + jnp.where(band, qrow, 0)
@@ -322,8 +355,11 @@ def make_fw_kernel(cfg: FWConfig):
                 f1 = f_scan(jnp.where(band, h0, NEG), e1, oe1, seed)
                 h1 = jnp.maximum(h0, e1v)
                 hh = jnp.maximum(h1, f1)
+                if local:
+                    hh = jnp.maximum(hh, 0)
                 e1n = jnp.maximum(e1v - e1, hh - oe1)
-                e1fin = jnp.where(hh == h1, e1n, infc)
+                e1fin = jnp.where(hh == h1, e1n,
+                                  jnp.int32(0) if local else infc)
                 hrow = jnp.where(band, hh, h0)
                 e1row = jnp.where(band, e1fin, e1v)
                 f1row = jnp.where(band, f1, 0)
@@ -335,8 +371,13 @@ def make_fw_kernel(cfg: FWConfig):
                 f1 = f_scan(hpf, e1, oe1, seed)
                 f2 = f_scan(hpf, e2, oe2, seed)
                 hh = jnp.maximum(jnp.maximum(hpf, f1), f2)
+                if local:
+                    hh = jnp.maximum(hh, 0)
                 e1n = jnp.maximum(e1v - e1, hh - oe1)
                 e2n = jnp.maximum(e2v - e2, hh - oe2)
+                if local:
+                    e1n = jnp.maximum(e1n, 0)
+                    e2n = jnp.maximum(e2n, 0)
                 hrow = jnp.where(band, hh, h0)
                 e1row = jnp.where(band, e1n, e1v)
                 e2row = jnp.where(band, e2n, e2v)
@@ -394,9 +435,9 @@ def make_fw_kernel(cfg: FWConfig):
                 mi = jnp.sum(jnp.where(ig == g, maxi_c, 0))
                 bs, bi, bj, brem = bss[g], bis[g], bjs[g], brems[g]
                 stop_now = jnp.bool_(False)
-                if extend:
+                if track_best:
                     better = mx > bs
-                    if cfg.use_zdrop:
+                    if extend and cfg.use_zdrop:
                         delta = brem - remain[0, g, t]
                         zlim = zdrop + e1 * jnp.abs(delta - (mi - bj))
                         stop_now = jnp.logical_not(better) \
@@ -478,6 +519,7 @@ def make_fw_kernel(cfg: FWConfig):
                 def bt_body(state):
                     i, j, cur_op, if_, nst, fail, done = state
                     hij, h_prev = cell2(Hb, i, j)
+                    zero_stop = jnp.bool_(local) & (hij == 0)
                     base = bases[0, g, i]
                     s = lane_at(qp[0, g, pl.ds(base, 1), :], j)
                     if gm != LINEAR_GAP:
@@ -587,8 +629,9 @@ def make_fw_kernel(cfg: FWConfig):
                                   & jnp.logical_not(use_e)
                                   & jnp.logical_not(use_f)
                                   & (cur_op & BT_M > 0) & if_ & m_possible)
-                    any_hit = use_m1 | use_e | use_f | use_m2
-                    fail = fail | jnp.logical_not(any_hit)
+                    any_hit = (use_m1 | use_e | use_f | use_m2) \
+                        & jnp.logical_not(zero_stop)
+                    fail = fail | jnp.logical_not(any_hit | zero_stop)
                     use_m = use_m1 | use_m2
                     m_pred = jnp.int32(0)
                     for p in range(cfg.P):
@@ -610,7 +653,8 @@ def make_fw_kernel(cfg: FWConfig):
                         jnp.where(use_e, e_op_sel,
                                   jnp.where(use_f, f_op_sel, cur_op)))
                     new_if = jnp.where(use_m, jnp.bool_(False), if_)
-                    done = fail | (new_i <= 0) | (new_j <= 0)
+                    done = (fail | zero_stop
+                            | (new_i <= 0) | (new_j <= 0))
                     return (new_i, new_j, new_cur, new_if, nst, fail,
                             done)
 

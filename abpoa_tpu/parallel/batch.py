@@ -59,6 +59,7 @@ def _stack_inputs(dgs, params):
 
 
 _DISPATCH_POOL = None
+_MESH_KERN_CACHE: dict = {}
 
 
 class BatchPOA:
@@ -77,7 +78,10 @@ class BatchPOA:
         self.engine = engine       # "pallas" (device DP+backtrack) or "xla"
         self.pipeline = pipeline   # overlap host fusion with device rounds
         self.dp_cells = 0          # aggregate band cells computed on device
-        self.dp_seconds = 0.0      # device wall time of DP calls
+        self.dp_seconds = 0.0      # device wall time of DP calls (summed;
+                                   #  overlapped shards can exceed wall)
+        self.dp_intervals = []     # (t0, t1) per device call, for a
+                                   #  non-overlapping busy-time union
         self.bt_seconds = 0.0      # device wall time of backtrack calls
         self.fallbacks = 0         # instances re-run on the host oracle
         self.rounds = 0
@@ -105,7 +109,9 @@ class BatchPOA:
         t0 = time.perf_counter()
         out = banded_poa_dp_batch(cfg, batched)
         out = jax.block_until_ready(out)
-        self.dp_seconds += time.perf_counter() - t0
+        t1 = time.perf_counter()
+        self.dp_seconds += t1 - t0
+        self.dp_intervals.append((t0, t1))
         self.dp_cells += int(np.sum(np.asarray(out.n_cells)[:nb]))
         return out
 
@@ -244,6 +250,13 @@ class BatchPOA:
             except StopIteration:
                 pass
         use_device = self._effective_engine() == "pallas"
+        # static-shape caps: window qlen is bounded by the longest read,
+        # and R/P/O floors ratchet monotonically — without them the
+        # per-round maxima drift and every round compiles a fresh kernel
+        self._seed_wq_cap = max(
+            ((max((len(q) for reads in instances for q in reads),
+                  default=0) // 128) + 1) * 128, 128)
+        self._seed_floors = {}
         while reqs:
             batch = []      # (k, beg_id, end_id, window, dg)
             host_only = []  # (k, req) handled by the oracle this round
@@ -300,47 +313,83 @@ class BatchPOA:
         from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
         params = self.params
         results = {}
-        # group by pn, pad to the round maxima
+        # group by pn, pad to the round maxima; chunk at 128 instances so
+        # the padded-batch shape set is bounded regardless of total size
         by_pn = {}
         for item in batch:
             by_pn.setdefault(item[4].pn, []).append(item)
-        for pn, items in by_pn.items():
-            R = max(d[4].R for d in items)
-            W = max(d[4].W for d in items)
-            P_ = max(d[4].P for d in items)
-            O_ = max(d[4].O for d in items)
-            Wq = max((d[4].qlen // 128 + 1) * 128 for d in items)
+        by_pn = {(pn, i): items[i:i + 128]
+                 for pn, items in by_pn.items()
+                 for i in range(0, len(items), 128)}
+        for (pn, _chunk), items in by_pn.items():
+            # ratcheting shape floors per pn: the padded dims only grow,
+            # bounding the number of distinct compiled kernels
+            fl = self._seed_floors.setdefault(pn, [64, 256, 2, 2])
+            fl[0] = R = max(fl[0], max(d[4].R for d in items))
+            fl[1] = W = max(fl[1], max(d[4].W for d in items))
+            fl[2] = P_ = max(fl[2], max(d[4].P for d in items))
+            fl[3] = O_ = max(fl[3], max(d[4].O for d in items))
+            Wq = self._seed_wq_cap
             dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
             LMAX = ((R + Wq) + 511) // 512 * 512
-            G = 4 if len(items) >= 4 else (2 if len(items) >= 2 else 1)
-            while 5 * G * R * Wq * 4 > 100 * 1024 * 1024 and G > 1:
-                G //= 2
-            cfgs, arrs = zip(*(make_pallas_inputs(dg, params, 128,
-                                                  force_Wq=Wq,
+            # v4 banded kernel when the band tile applies; else full-width
+            from ..align.engine_jax import pick_WB
+            WB = pick_WB(params, self._seed_wq_cap, pn)
+            use_band = (params.wb >= 0 and Wq < 32000 and R <= 4096
+                        and 5 * 8 * R * WB * 4 <= 100 * 1024 * 1024)
+            if use_band:
+                G = 8  # constant: a varying G would multiply kernel shapes
+            else:
+                G = 4 if len(items) >= 4 else (2 if len(items) >= 2 else 1)
+                while 5 * G * R * Wq * 4 > 100 * 1024 * 1024 and G > 1:
+                    G //= 2
+            WqB = (Wq + WB - 1) // WB * WB if use_band else Wq
+            cfgs, arrs = zip(*(make_pallas_inputs(dg, params, WB,
+                                                  force_Wq=WqB,
                                                   bt_lmax=LMAX)
                                for dg in dgs))
             cfg = cfgs[0]
-            fwc = FWConfig(gap_mode=cfg.gap_mode,
-                           align_mode=cfg.align_mode, pn=cfg.pn, R=R,
-                           Wq=Wq, P=cfg.P, O=cfg.O, m=cfg.m,
-                           use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=G)
             nb = len(items)
-            pad = (-nb) % G
+            # pad the batch to a power-of-FOUR multiple of G: round group
+            # sizes vary as instances finish, and an unbucketed batch dim
+            # would recompile the kernel every round
+            BP = G
+            while BP < nb:
+                BP *= 4
+            pad = BP - nb
+            if use_band:
+                from ..ops.dp_pallas_band import (BandConfig,
+                                                  band_poa_dp_batch)
+                kc = BandConfig(gap_mode=cfg.gap_mode,
+                                align_mode=cfg.align_mode, pn=cfg.pn,
+                                R=R, WB=WB, Wq=WqB, P=cfg.P, O=cfg.O,
+                                m=cfg.m, use_zdrop=cfg.use_zdrop,
+                                bt_lmax=LMAX, G=G)
+                kern = band_poa_dp_batch
+            else:
+                kc = FWConfig(gap_mode=cfg.gap_mode,
+                              align_mode=cfg.align_mode, pn=cfg.pn, R=R,
+                              Wq=WqB, P=cfg.P, O=cfg.O, m=cfg.m,
+                              use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=G,
+                              banded=params.wb >= 0)
+                kern = fw_poa_dp_batch
             stacked = tuple(jnp.asarray(np.stack(
                 [a[i] for a in arrs] + [arrs[0][i]] * pad))
                 for i in range(len(arrs[0])))
             t0 = time.perf_counter()
-            out = fw_poa_dp_batch(fwc, *stacked)
+            out = kern(kc, *stacked)
             misc = np.asarray(out.misc)[:nb]
             steps = np.asarray(out.steps)[:nb]
-            self.dp_seconds += time.perf_counter() - t0
+            t1 = time.perf_counter()
+            self.dp_seconds += t1 - t0
+            self.dp_intervals.append((t0, t1))
             self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
             mpl = np.asarray(out.mpl)[:nb]
             mpr = np.asarray(out.mpr)[:nb]
             for b, (k, beg_id, end_id, window, dg0) in enumerate(items):
                 ab = abs_[k]
                 g = ab.graph
-                if misc[b, dpp.M_FAIL]:
+                if misc[b, dpp.M_FAIL] or misc[b, dpp.M_OVFL]:
                     # oracle re-runs from the pre-call band state (no
                     # writeback happened for this instance)
                     self.fallbacks += 1
@@ -366,13 +415,15 @@ class BatchPOA:
         return results
 
     def _effective_engine(self) -> str:
-        """Pallas needs a real TPU backend, banding, and global/extend."""
+        """Pallas needs a real TPU backend; all three align modes run on
+        the device kernels (banded via band/fw, local/unbanded via the fw
+        kernel's full rows)."""
         import jax
-        from ..params import GLOBAL_MODE, EXTEND_MODE
+        from ..params import GLOBAL_MODE, LOCAL_MODE, EXTEND_MODE
         if self.engine == "xla":
             return "xla"
-        if (self.params.wb < 0
-                or self.params.align_mode not in (GLOBAL_MODE, EXTEND_MODE)
+        if (self.params.align_mode not in (GLOBAL_MODE, LOCAL_MODE,
+                                           EXTEND_MODE)
                 or jax.default_backend() not in ("tpu", "axon")):
             return "xla"
         return "pallas"
@@ -406,8 +457,10 @@ class BatchPOA:
             if nplanes * g * R * WB * 4 <= 100 * 1024 * 1024:
                 Gb = g
                 break
-        # packed 16-bit control words need qlen < 32766 and R <= 4096
-        use_band = Gb > 0 and Wq < 32000 and R <= 4096
+        # packed 16-bit control words need qlen < 32766 and R <= 4096;
+        # unbanded (-b -1) computes full rows -> fw kernel
+        use_band = (Gb > 0 and Wq < 32000 and R <= 4096
+                    and params.wb >= 0)
         if not use_band:
             # full-width kernel (dp_pallas_fw) when its planes fit VMEM;
             # otherwise the v1 banded-tile kernel
@@ -450,7 +503,7 @@ class BatchPOA:
             fwc = FWConfig(gap_mode=cfg.gap_mode, align_mode=cfg.align_mode,
                            pn=cfg.pn, R=R, Wq=Wq, P=cfg.P, O=cfg.O,
                            m=cfg.m, use_zdrop=cfg.use_zdrop,
-                           bt_lmax=LMAX, G=G)
+                           bt_lmax=LMAX, G=G, banded=params.wb >= 0)
             kern_fn = lambda *a: fw_poa_dp_batch(fwc, *a)  # noqa: E731
         else:
             kern_fn = lambda *a: dpp.pallas_poa_dp_batch(cfg, *a)  # noqa
@@ -463,18 +516,21 @@ class BatchPOA:
             import jax
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
+            # process-global cache: BatchPOA objects are created per run,
+            # and per-instance jax.jit objects would retrace every shape
+            # on every run (a fresh jit misses jax's C++ dispatch cache)
+            global _MESH_KERN_CACHE
             key = (bc if use_band else (fwc if use_fw else cfg),
-                   id(self.mesh), len(stacked_np))
-            cache = getattr(self, "_mesh_kern_cache", None)
-            if cache is None:
-                cache = self._mesh_kern_cache = {}
-            if key not in cache:
-                cache[key] = jax.jit(shard_map(
+                   tuple(d.id for d in self.mesh.devices.flat),
+                   tuple(self.mesh.axis_names), self.batch_axis,
+                   len(stacked_np))
+            if key not in _MESH_KERN_CACHE:
+                _MESH_KERN_CACHE[key] = jax.jit(shard_map(
                     kern_fn, mesh=self.mesh,
                     in_specs=tuple(P(self.batch_axis)
                                    for _ in range(len(stacked_np))),
                     out_specs=P(self.batch_axis), check_rep=False))
-            kern_fn = cache[key]
+            kern_fn = _MESH_KERN_CACHE[key]
 
         # the host->device upload and dispatch block on the transport; run
         # them in the worker thread so the pipeline's host work (fusion,
@@ -511,13 +567,24 @@ class BatchPOA:
         misc, steps = jax.device_get((out.misc, out.steps))  # sync point
         misc = misc[:nb]
         steps = steps[:nb]
-        self.dp_seconds += time.perf_counter() - pend["t0"]
+        t1 = time.perf_counter()
+        self.dp_seconds += t1 - pend["t0"]
+        self.dp_intervals.append((pend["t0"], t1))
         self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
         from ..graph import NativeGraph
         for b, k in enumerate(group):
             ab = abs_[k]
             q = instances[k][r]
-            if misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL]:
+            bad = bool(misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL])
+            if params.amb_strand and (
+                    bad or self._amb_flagged(ab, q,
+                                             int(misc[b, dpp.M_BEST]))):
+                # rc-retry candidate: redo fwd+rc through the sequential
+                # per-read body (bit-equal to the device fwd by the
+                # engine equivalence chain), ref abpoa_align.c:315
+                ab.poa_one(params, q, [1] * len(q), r)
+                continue
+            if bad:
                 self.fallbacks += 1
                 res = align_sequence_to_subgraph(
                     ab.graph, params, SRC_NODE_ID, SINK_NODE_ID, q,
@@ -542,6 +609,12 @@ class BatchPOA:
             ab.graph.add_graph_alignment(params, q, [1] * len(q),
                                          res.cigar, None, r, True)
 
+    def _amb_flagged(self, ab, q, score: int) -> bool:
+        """Ambiguous-strand retry threshold (ref abpoa_align.c:315)."""
+        thres = (min(len(q), ab.graph.node_n - 2)
+                 * self.params.max_mat * .3333)
+        return score < thres
+
     def _finish_round(self, abs_, group, dgs, out, r, instances):
         params = self.params
         H = np.asarray(out.H)
@@ -562,6 +635,11 @@ class BatchPOA:
             q = instances[k][r]
             n = dg.n_rows
             g = ab.graph
+            if params.amb_strand and self._amb_flagged(ab, q, int(bs[b])):
+                # before the band-state writeback: the sequential rc-retry
+                # reruns the fwd align from the pre-align band state
+                ab.poa_one(params, q, [1] * len(q), r)
+                continue
             if params.wb >= 0:
                 i2n = np.asarray(g.index_to_node_id[:n], dtype=np.int64)
                 g.node_id_to_max_pos_left[i2n] = mpl[b, :n]
@@ -572,6 +650,20 @@ class BatchPOA:
                 int(bs[b]), int(bi[b]), int(bj[b]))
             g.add_graph_alignment(params, q, [1] * len(q), res.cigar,
                                   None, r, True)
+
+    def dp_busy_seconds(self) -> float:
+        """Union length of the device-call intervals (the summed
+        dp_seconds double-counts overlapped pipeline shards)."""
+        total = 0.0
+        end = float("-inf")
+        for t0, t1 in sorted(self.dp_intervals):
+            if t0 > end:
+                total += t1 - t0
+                end = t1
+            elif t1 > end:
+                total += t1 - end
+                end = t1
+        return total
 
     def run_consensus(self, instances):
         """Full pipeline: batched POA then consensus per instance; returns

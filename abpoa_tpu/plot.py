@@ -25,7 +25,8 @@ def dump_pog(ab, params):
     n = graph.node_n
     labels = [""] * n
     with open(dot_fn, "w") as fp:
-        fp.write(f"// abpoa_tpu graph dot file.\n// {n} nodes.\n")
+        # byte-parity with the reference .dot output
+        fp.write(f"// abpoa graph dot file.\n// {n} nodes.\n")
         fp.write('digraph ABPOA_graph {\n\tgraph [rankdir="LR"];\n'
                  "\tnode [width=1.000000, style=filled, fixedsize=true, "
                  "shape=circle];\n")
@@ -38,7 +39,7 @@ def dump_pog(ab, params):
             else:
                 base = chr(tab[graph.node[nid].base])
                 color = NODE_COLOR[min(graph.node[nid].base, 4)]
-            labels[nid] = f'"{base}\\n{i}"'
+            labels[nid] = f'"{base}\n{i}"'  # literal newline (ref)
             fp.write(f"{labels[nid]} [color={color}, fontsize={font_size}]\n")
         x_index = -1
         for i in range(n):

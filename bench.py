@@ -71,11 +71,63 @@ def _reference_cells_per_s(fixture: str, cells_per_instance: int) -> float:
     return float("nan")
 
 
+def _seeded_instances(reads, n: int):
+    """Config-5-shaped workload: n seeded amplicon windows with VARIED
+    read lengths (deterministic trims -> several (R, Wq) shape buckets,
+    stressing bucketing and recompilation, unlike identical copies)."""
+    out = []
+    for k in range(n):
+        trim = (k % 5) * 120
+        out.append([q[: max(64, len(q) - trim)] for q in reads])
+    return out
+
+
+def _bench_seeded(reads, n: int):
+    """1k+ seeded windows through run_seeded (-S path; BASELINE.json
+    config 5). Returns the JSON record."""
+    from abpoa_tpu.params import Params
+    from abpoa_tpu.parallel import BatchPOA
+    instances = _seeded_instances(reads, n)
+    params = Params().post_set()
+    params.disable_seeding = 0
+    params.post_set()
+    warm = BatchPOA(Params().post_set())
+    warm.params.disable_seeding = 0
+    warm.params.post_set()
+    # device rounds chunk at 128 instances, so a 128-instance warmup
+    # compiles every padded-batch bucket the timed run will see
+    warm.run_seeded(_seeded_instances(reads, min(n, 128)))
+    bp = BatchPOA(params)
+    t0 = time.perf_counter()
+    abs_ = bp.run_seeded(instances)
+    e2e = time.perf_counter() - t0
+    from abpoa_tpu.consensus import generate_consensus
+    for ab in abs_[:4]:
+        generate_consensus(ab, params)
+        assert ab.cons.n_cons >= 1
+    return {
+        "metric": "seeded_windows_per_s",
+        "value": round(n / e2e, 3),
+        "unit": "windows/s",
+        "extras": {
+            "instances": n,
+            "length_buckets": 5,
+            "e2e_seconds": round(e2e, 3),
+            "dp_seconds": round(bp.dp_seconds, 3),
+            "dp_busy_seconds": round(bp.dp_busy_seconds(), 3),
+            "dp_cells": bp.dp_cells,
+            "rounds": bp.rounds,
+            "fallbacks": bp.fallbacks,
+        },
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from jax.sharding import Mesh
     from abpoa_tpu.params import Params
     from abpoa_tpu.parallel import BatchPOA
 
@@ -97,6 +149,29 @@ def main():
     reps.sort(key=lambda x: x[0])
     e2e, bp = reps[1]
 
+    # mesh variant: the shard_map dispatch path (parallel/batch.py) on the
+    # real chip (1-device mesh here; N-chip meshes use the same program)
+    mesh_extras = None
+    if os.environ.get("ABPOA_BENCH_MESH", "1") == "1":
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        BatchPOA(Params().post_set(), mesh=mesh).run_consensus(instances)
+        bm = BatchPOA(Params().post_set(), mesh=mesh)
+        t0 = time.perf_counter()
+        cons_m = bm.run_consensus(instances)
+        mesh_e2e = time.perf_counter() - t0
+        assert cons_m == cons
+        mesh_extras = {"devices": 1,
+                       "e2e_seconds": round(mesh_e2e, 4),
+                       "windows_per_s": round(N_INSTANCES / mesh_e2e, 4)}
+
+    # config-5 seeded workload (second JSON line, printed first so the
+    # driver's one-line contract keeps the headline metric last)
+    seeded = None
+    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "1024"))
+    if n_seeded:
+        seeded = _bench_seeded(reads, n_seeded)
+        print(json.dumps(seeded))
+
     cells_per_instance = bp.dp_cells // N_INSTANCES
     # aggregate end-to-end rate: same accounting as the reference side
     # (cells divided by total wall time including host graph work)
@@ -113,11 +188,15 @@ def main():
             "instances": N_INSTANCES,
             "dp_cells": bp.dp_cells,
             "dp_seconds": round(bp.dp_seconds, 4),
+            "dp_busy_seconds": round(bp.dp_busy_seconds(), 4),
             "e2e_seconds": round(e2e, 4),
             "windows_per_s": round(N_INSTANCES / e2e, 4),
             "ref_cells_per_s": round(ref_rate, 1) if ref_rate == ref_rate
             else None,
             "device": str(jax.devices()[0]),
+            "mesh": mesh_extras,
+            "seeded": (dict(value=seeded["value"], **seeded["extras"])
+                       if seeded else None),
         },
     }
     print(json.dumps(out))

@@ -53,3 +53,34 @@ def test_batch_mesh_sharded():
     expected = _oracle_consensus(_encoded("seq.fa"), Params().post_set())
     got = BatchPOA(params, mesh=mesh).run_consensus(insts)
     assert all(g == expected for g in got)
+
+
+def test_batch_amb_strand_matches_sequential():
+    """-s in the batched driver: flagged reads take the sequential fwd+rc
+    retry (ref abpoa_align.c:315) and must match ABPOA.poa exactly,
+    including is_rc flags."""
+    from abpoa_tpu.alphabet import revcomp_codes
+    params = Params().post_set()
+    params.amb_strand = 1
+    reads = _encoded("seq.fa")
+    # reverse-complement alternating reads -> rc retries must trigger
+    mixed = [revcomp_codes(q) if i % 2 else q
+             for i, q in enumerate(reads)]
+    seq_params = Params().post_set()
+    seq_params.amb_strand = 1
+    ab = ABPOA()
+    ab.n_seq = len(mixed)
+    ab.names = [""] * len(mixed)
+    ab.is_rc = [0] * len(mixed)
+    ab.poa(seq_params, mixed, [[1] * len(q) for q in mixed], 0)
+    generate_consensus(ab, seq_params)
+    tab = decode_table(seq_params.m)
+    expected = [bytes(tab[b] for b in s).decode()
+                for s in ab.cons.cons_base[:ab.cons.n_cons]]
+
+    bp = BatchPOA(params)
+    abs_ = bp.run([mixed] * 3)
+    got = BatchPOA(params).run_consensus([mixed] * 3)
+    assert got == [expected] * 3
+    assert all(a.is_rc == ab.is_rc for a in abs_)
+    assert any(ab.is_rc), "fixture should trigger rc retries"

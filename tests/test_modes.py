@@ -83,3 +83,17 @@ def test_amb_strand_jax_engine():
     expected = (GOLDEN_SAN / "seq_cons_ambs.fa").read_text()
     assert run_cli(["--engine", "jax", "-s", str(DATA / "seq.fa")]) \
         == expected
+
+
+def test_pog_dot_golden(tmp_path):
+    """-g: Graphviz .dot output byte-matches the reference
+    (ref abpoa_plot.c:33-121)."""
+    out = tmp_path / "pog.png"
+    import io
+    import contextlib
+    from abpoa_tpu.cli import main
+    with contextlib.redirect_stdout(io.StringIO()), \
+            contextlib.redirect_stderr(io.StringIO()):
+        main([str(DATA / "seq.fa"), "-g", str(out)])
+    got = (tmp_path / "pog.png.dot").read_text()
+    assert got == (GOLDEN_SAN / "seq_pog.dot").read_text()

@@ -134,3 +134,57 @@ def test_band_kernel_g2_packing():
         ns = int(np.asarray(out2.misc)[b][dpp.M_NSTEPS])
         assert (np.asarray(out1.steps)[0][:ns]
                 == np.asarray(out2.steps)[b][:ns]).all()
+
+
+@pytest.mark.parametrize("mode,wb", [("local", -1), ("global", -1),
+                                     ("extend", -1)])
+def test_fw_kernel_modes_vs_oracle(mode, wb):
+    """Local / unbanded-global / extend through the fw kernel (interpret
+    mode) must reproduce the oracle's score AND cigar exactly."""
+    import jax.numpy as jnp
+    from abpoa_tpu.params import LOCAL_MODE, EXTEND_MODE
+    from abpoa_tpu.align.engine_np import (AlignResult,
+                                           align_sequence_to_subgraph)
+    from abpoa_tpu.align.engine_jax import export_dense, make_pallas_inputs
+    from abpoa_tpu.ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
+    from abpoa_tpu.ops import dp_pallas as dpp
+    from abpoa_tpu.ops import bt_xla
+    params = Params()
+    if mode == "local":
+        params.align_mode = LOCAL_MODE
+    elif mode == "extend":
+        params.align_mode = EXTEND_MODE
+    params.wb = wb
+    params.post_set()
+    reads = _reads("seq.fa", 5)
+    g = POAGraph()
+    g.add_graph_alignment(params, reads[0], [1] * len(reads[0]), [],
+                          None, 0, True)
+    for rid, q in enumerate(reads[1:], start=1):
+        if not g.is_topological_sorted:
+            g.topological_sort(params)
+        dg = export_dense(g, params, q)
+        Wq = (dg.qlen // 128 + 1) * 128
+        LMAX = ((dg.R + Wq) + 511) // 512 * 512
+        cfgF, arrs = make_pallas_inputs(dg, params, 128, force_Wq=Wq,
+                                        bt_lmax=LMAX)
+        fwc = FWConfig(cfgF.gap_mode, cfgF.align_mode, cfgF.pn, dg.R, Wq,
+                       cfgF.P, cfgF.O, cfgF.m, cfgF.use_zdrop, LMAX, 1,
+                       banded=False)
+        out = fw_poa_dp_batch(fwc, *[jnp.asarray(a)[None] for a in arrs],
+                              interpret=True)
+        m = np.asarray(out.misc)[0]
+        res = align_sequence_to_subgraph(g, params, SRC_NODE_ID,
+                                         SINK_NODE_ID, q)
+        dres = AlignResult()
+        dres.best_score = int(m[dpp.M_BEST])
+        bt_xla.replay_steps(g, params, np.asarray(q),
+                            np.asarray(out.steps)[0],
+                            int(m[dpp.M_NSTEPS]), int(m[dpp.M_BI]),
+                            int(m[dpp.M_BJ]), int(m[dpp.M_ENDI]),
+                            int(m[dpp.M_ENDJ]), dres)
+        assert not m[dpp.M_FAIL]
+        assert dres.best_score == res.best_score
+        assert dres.cigar == res.cigar
+        g.add_graph_alignment(params, q, [1] * len(q), res.cigar, None,
+                              rid, True)
