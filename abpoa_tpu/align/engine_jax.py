@@ -64,16 +64,20 @@ class DenseGraph:
 
 def subgraph_index_map(graph, beg_index: int, end_index: int) -> np.ndarray:
     """Reachability mask within the subgraph interval
-    (ref simd_abpoa_align_sequence_to_subgraph :1650-1660)."""
-    n2i = graph.node_id_to_index
+    (ref simd_abpoa_align_sequence_to_subgraph :1650-1660). CSR-based:
+    the node-object walk materialized the whole store per window."""
+    n2i = np.asarray(graph.node_id_to_index, dtype=np.int64)
+    c = graph.build_csr()
+    out_flat = c["out_flat"]
+    out_off = c["out_off"]
     index_map = np.zeros(graph.node_n, dtype=bool)
     index_map[beg_index] = index_map[end_index] = True
+    i2n = graph.index_to_node_id
     for i in range(beg_index, end_index - 1):
         if not index_map[i]:
             continue
-        nid = int(graph.index_to_node_id[i])
-        for out_id in graph.node[nid].out_id:
-            index_map[int(n2i[out_id])] = True
+        nid = int(i2n[i])
+        index_map[n2i[out_flat[out_off[nid]:out_off[nid + 1]]]] = True
     return index_map
 
 
@@ -107,30 +111,41 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     bases = np.zeros(R, dtype=np.int32)
     csr = getattr(graph, "_csr", None)
     if not full:
-        # subgraph export: filtered adjacency, plain python path
-        node = graph.node  # NativeGraph: one cached materialization
+        # subgraph export: filtered adjacency, vectorized over the CSR
+        # snapshot (walking Node objects materialized the native store
+        # per window, dominating the seeded pipeline's host time)
         if index_map is None:
             index_map = subgraph_index_map(graph, beg_index, end_index)
+        c = graph.build_csr()
         rowmask = np.zeros(R, dtype=np.int32)
         rowmask[:n] = index_map[beg_index:end_index + 1]
-        in_lists = []
-        out_lists_ = []
-        for t, nid in enumerate(ids):
-            nd = node[int(nid)]
-            bases[t] = nd.base
-            if index_map[beg_index + t]:
-                in_lists.append([int(n2i[x]) - beg_index for x in nd.in_id
-                                 if index_map[int(n2i[x])]
-                                 and beg_index <= int(n2i[x]) <= end_index])
-                out_lists_.append([int(n2i[x]) - beg_index
-                                   for x in nd.out_id
-                                   if beg_index <= int(n2i[x]) <= end_index])
-            else:
-                in_lists.append([])
-                out_lists_.append([])
-        pre_cnt = np.fromiter(map(len, in_lists), dtype=np.int32, count=n)
-        out_cnt = np.fromiter(map(len, out_lists_), dtype=np.int32,
-                              count=n)
+        n2i_np = np.asarray(n2i, dtype=np.int64)
+        bases[:n] = c["bases"][ids]
+        row_live = index_map[beg_index:end_index + 1]
+
+        def _filtered(flat, off, cnt, also_map: bool):
+            raw_cnt = cnt[ids].astype(np.int64)
+            s = np.repeat(off[:-1][ids].astype(np.int64), raw_cnt)
+            w = np.arange(len(s)) - np.repeat(
+                np.cumsum(raw_cnt) - raw_cnt, raw_cnt)
+            tgt = n2i_np[flat[s + w]]
+            rows = np.repeat(np.arange(n), raw_cnt)
+            keep = (row_live[rows] & (tgt >= beg_index)
+                    & (tgt <= end_index))
+            if also_map:
+                keep &= index_map[tgt]
+            rows_k = rows[keep]
+            vals = (tgt[keep] - beg_index).astype(np.int32)
+            counts = np.bincount(rows_k, minlength=n).astype(np.int32)
+            starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            pos = np.arange(len(rows_k)) - starts[rows_k]
+            return rows_k, pos, vals, counts
+
+        rin, pin, vin, pre_cnt = _filtered(c["in_flat"], c["in_off"],
+                                           c["in_cnt"], True)
+        rout, pout, vout, out_cnt = _filtered(c["out_flat"], c["out_off"],
+                                              c["out_cnt"], False)
         P = force_P if force_P else _bucket(
             max(int(pre_cnt.max(initial=1)), 1), 2)
         O = force_O if force_O else _bucket(
@@ -141,9 +156,8 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
         out_n = np.zeros(R, dtype=np.int32)
         pre_n[:n] = pre_cnt
         out_n[:n] = out_cnt
-        for t in range(n):
-            pre_idx[t, :pre_cnt[t]] = in_lists[t]
-            out_idx[t, :out_cnt[t]] = out_lists_[t]
+        pre_idx[rin, pin] = vin
+        out_idx[rout, pout] = vout
         remain = np.zeros(R, dtype=np.int32)
         mpl = np.zeros(R, dtype=np.int32)
         mpr = np.zeros(R, dtype=np.int32)
@@ -156,7 +170,7 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
         qcol[1:qlen + 1] = np.asarray(query, dtype=np.int32)
         dg = DenseGraph(n, qlen, pn, inf_min, bases, pre_idx, pre_n,
                         out_idx, out_n, remain, mpl, mpr, qcol,
-                        [list(x) for x in in_lists], R, W, P, O)
+                        None, R, W, P, O)
         dg.beg_index = beg_index
         dg.rowmask = rowmask
         return dg

@@ -19,7 +19,7 @@ import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SO = _DIR / "_hostgraph.so"
-_SRCS = [_DIR / "hostgraph.c", _DIR / "poagraph.c"]
+_SRCS = [_DIR / "hostgraph.c", _DIR / "poagraph.c", _DIR / "seedchain.c"]
 
 _lib = None
 
@@ -88,6 +88,17 @@ def get_lib():
             "pg_export_csr": (None, [_vp] + [_vp] * 10),
             "pg_export_aux": (None, [_vp] + [_vp] * 5),
             "pg_node_base": (_i32, [_vp, _i32]),
+            # seeding / chaining (seedchain.c)
+            "sc_sketch": (ctypes.c_int64,
+                          [_vp, _i32, _i32, _i32, _i32, _i32, _i32,
+                           _vp, _vp]),
+            "sc_collect_anchors": (ctypes.c_int64,
+                                   [_vp, _vp, ctypes.c_int64, _vp, _vp,
+                                    ctypes.c_int64, _i32, _i32, _vp,
+                                    ctypes.c_int64]),
+            "sc_dp_chaining": (ctypes.c_int64,
+                               [_vp, ctypes.c_int64, _i32, _i32, _i32,
+                                _i32, _vp]),
         }
         for name, (res, args) in sigs.items():
             fn = getattr(lib, name)

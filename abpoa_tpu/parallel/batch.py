@@ -323,8 +323,13 @@ class BatchPOA:
                  for i in range(0, len(items), 128)}
         for (pn, _chunk), items in by_pn.items():
             # ratcheting shape floors per pn: the padded dims only grow,
-            # bounding the number of distinct compiled kernels
-            fl = self._seed_floors.setdefault(pn, [64, 256, 2, 2])
+            # bounding the number of distinct compiled kernels. R starts
+            # at the query-scale bucket (graphs grow to ~qlen rows, and
+            # the row sweep is bounded by live rows, so padding R only
+            # costs plane memory — not a new compile per growth step)
+            fl = self._seed_floors.setdefault(
+                pn, [min(_bucket(self._seed_wq_cap, 64), 4096),
+                     256, 2, 2])
             fl[0] = R = max(fl[0], max(d[4].R for d in items))
             fl[1] = W = max(fl[1], max(d[4].W for d in items))
             fl[2] = P_ = max(fl[2], max(d[4].P for d in items))

@@ -425,10 +425,84 @@ def dp_chaining(anchors: list, par_anchors: list, params, tlen: int,
                         tlen, qlen)
 
 
+def _native_partition(seqs, seq_lens, params, n_seq, read_id_map):
+    """Native (C) sketch + merge-join + chaining — same semantics as the
+    Python path below (equivalence enforced by tests/test_native_seed.py).
+    Returns (par_anchors, par_c) or None if the native lib is absent."""
+    import numpy as np
+    from . import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    ptr = native.ptr
+    aa = 1 if params.m > 5 else 0
+    both = 0 if aa else int(bool(params.amb_strand))
+    if params.verbose > 0:
+        print("[abpoa_collect_mm] Collecting minimizers ... ",
+              end="", file=sys.stderr)
+    bx, by = [], []
+    for i in range(n_seq):
+        s = np.ascontiguousarray(seqs[i], dtype=np.uint8)
+        cap = 2 * len(s) + 16
+        x = np.empty(cap, np.uint64)
+        y = np.empty(cap, np.uint64)
+        cnt = lib.sc_sketch(ptr(s), len(s), params.w, params.k, i, both,
+                            aa, ptr(x), ptr(y))
+        bx.append(x[:cnt])
+        by.append(y[:cnt])
+    if params.verbose > 0:
+        print("done!", file=sys.stderr)
+    if params.progressive_poa and n_seq > 2:
+        mm = [(int(x), int(y)) for xs, ys in zip(bx, by)
+              for x, y in zip(xs, ys)]
+        build_guide_tree(params, n_seq, mm, read_id_map)
+    par_anchors: list[int] = []
+    par_c = [0] * n_seq
+    if params.disable_seeding or n_seq < 2:
+        return par_anchors, par_c
+
+    def sort_bucket(r):
+        order = np.argsort(bx[r], kind="stable")
+        bx[r] = np.ascontiguousarray(bx[r][order])
+        by[r] = np.ascontiguousarray(by[r][order])
+
+    sort_bucket(read_id_map[0])
+    for i in range(1, n_seq):
+        tid = read_id_map[i - 1]
+        qid = read_id_map[i]
+        sort_bucket(qid)
+        t_n, q_n = len(bx[tid]), len(bx[qid])
+        cap = 4 * (t_n + q_n) + 1024
+        while True:
+            anchors = np.empty(cap, np.uint64)
+            n_a = lib.sc_collect_anchors(ptr(bx[tid]), ptr(by[tid]), t_n,
+                                         ptr(bx[qid]), ptr(by[qid]), q_n,
+                                         seq_lens[qid], params.k,
+                                         ptr(anchors), cap)
+            if n_a >= 0:
+                break
+            cap *= 4
+        par = np.empty(max(n_a, 1), np.uint64)
+        n_p = lib.sc_dp_chaining(ptr(anchors), n_a, params.k,
+                                 params.min_w + params.k,
+                                 seq_lens[tid], seq_lens[qid], ptr(par))
+        if n_p < 0:
+            raise MemoryError("sc_dp_chaining failed")
+        par_anchors.extend(int(v) for v in par[:n_p])
+        par_c[i] = len(par_anchors)
+    return par_anchors, par_c
+
+
 def build_guide_tree_partition(seqs, seq_lens, params):
     """ref abpoa_build_guide_tree_partition (:704-745)."""
+    import os
     n_seq = len(seqs)
     read_id_map = list(range(n_seq))
+    if not os.environ.get("ABPOA_NO_NATIVE"):
+        nat = _native_partition(seqs, seq_lens, params, n_seq, read_id_map)
+        if nat is not None:
+            par_anchors, par_c = nat
+            return read_id_map, par_anchors, par_c
     mm, mm_c = collect_mm(seqs, seq_lens, n_seq, params)
     if params.progressive_poa and n_seq > 2:
         build_guide_tree(params, n_seq, list(mm), read_id_map)
