@@ -283,8 +283,9 @@ def replay_steps(graph, params, query, steps, n_steps, best_i, best_j,
         res.n_aln_bases += int(m_mask.sum() + (ops == 1).sum())
         if m_mask.any():
             mrows = nids[m_mask]
-            bases = np.fromiter((graph.node[int(x)].base for x in mrows),
-                                dtype=np.int64, count=len(mrows))
+            # CSR bases, not graph.node[...]: the Node view would
+            # re-materialize the native store once per round
+            bases = graph.build_csr()["bases"][mrows].astype(np.int64)
             res.n_matched_bases += int(
                 (bases == np.asarray(query)[cols[m_mask] - 1]).sum())
         # run-length groups over the op stream

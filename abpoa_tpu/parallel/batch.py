@@ -383,14 +383,16 @@ class BatchPOA:
                 for i in range(len(arrs[0])))
             t0 = time.perf_counter()
             out = kern(kc, *stacked)
-            misc = np.asarray(out.misc)[:nb]
-            steps = np.asarray(out.steps)[:nb]
+            # slice on device, then fetch: the padded tail never crosses
+            # the (slow) host link
+            misc = np.asarray(out.misc[:nb])
+            steps = np.asarray(out.steps[:nb])
             t1 = time.perf_counter()
             self.dp_seconds += t1 - t0
             self.dp_intervals.append((t0, t1))
             self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
-            mpl = np.asarray(out.mpl)[:nb]
-            mpr = np.asarray(out.mpr)[:nb]
+            mpl = np.asarray(out.mpl[:nb])
+            mpr = np.asarray(out.mpr[:nb])
             for b, (k, beg_id, end_id, window, dg0) in enumerate(items):
                 ab = abs_[k]
                 g = ab.graph
@@ -569,9 +571,8 @@ class BatchPOA:
         out, nb = pend["future"].result(), pend["nb"]
         abs_, group, r = pend["abs_"], pend["group"], pend["r"]
         instances = pend["instances"]
-        misc, steps = jax.device_get((out.misc, out.steps))  # sync point
-        misc = misc[:nb]
-        steps = steps[:nb]
+        # sync point; slice on device so padding never crosses the link
+        misc, steps = jax.device_get((out.misc[:nb], out.steps[:nb]))
         t1 = time.perf_counter()
         self.dp_seconds += t1 - pend["t0"]
         self.dp_intervals.append((pend["t0"], t1))
