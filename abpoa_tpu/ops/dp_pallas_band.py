@@ -55,6 +55,9 @@ from .dp_pallas import (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1,
 NEG = -(1 << 29)
 H16 = 0xFFFF
 
+import os as _os
+_ABL = int(_os.environ.get("ABPOA_KABL", "0"))  # timing ablations only
+
 
 class BandOut(NamedTuple):
     beg_sn: jax.Array  # [B, R]
@@ -98,11 +101,13 @@ def make_band_kernel(cfg: BandConfig):
 
     # per-instance sweep state lives in SMEM (not loop carries): G scalar
     # carry chains would spill registers past G=4
-    ST_BS, ST_BI, ST_BJ, ST_BREM, ST_STOP, ST_CELLS, ST_OVFL = range(7)
+    (ST_BS, ST_BI, ST_BJ, ST_BREM, ST_STOP, ST_CELLS, ST_OVFL,
+     ST_K0) = range(8)
 
     def kernel(scal, ctrl, preP, outP, remain, mplr0, qpf,
                bsn_o, mplr_o, misc_o, steps_o,
-               Hb, E1b, E2b, F1b, F2b, colv, qasm, qasm2, stv):
+               Hb, E1b, E2b, F1b, F2b, colv, qres, hacc, e1acc, e2acc,
+               stv):
         l = iota()
 
         def sc(g, k):
@@ -145,12 +150,16 @@ def make_band_kernel(cfg: BandConfig):
         for g in range(1, G):
             max_nr = jnp.maximum(max_nr, n_rowss[g])
 
-        def copy_state(t, _):
-            for g in range(G):
-                mplr_o[0, g, t] = mplr0[0, g, t]
-                bsn_o[0, g, t] = 0
+        # band-state init (the kernel scatters into future rows, so every
+        # live row must hold its input value before the sweep); bsn_o rows
+        # beyond the live sweep stay uninitialized — the host masks them
+        def copy_state(blk, _):
+            for u in range(8):
+                t = blk * 8 + u
+                for g in range(G):
+                    mplr_o[0, g, t] = mplr0[0, g, t]
             return 0
-        jax.lax.fori_loop(0, max_nr, copy_state, 0)
+        jax.lax.fori_loop(0, (max_nr + 7) // 8, copy_state, 0)
 
         def ad_bounds(g, t):
             w = mplr_o[0, g, t]
@@ -213,19 +222,31 @@ def make_band_kernel(cfg: BandConfig):
                                          jnp.where(l == 0, inf, 0))
 
         # ---------------- row sweep ----------------
+        def body_empty(t, _):
+            Hb[:, t, :] = jnp.full((G, WB), t, jnp.int32)
+            return 0
+
         def body(t, _):
-            stops = [stv[g, ST_STOP] > 0 for g in range(G)]
+            if _ABL & 64:
+                return body_empty(t, _)
+            if extend:
+                stops = [stv[g, ST_STOP] > 0 for g in range(G)]
+            else:
+                stops = [jnp.bool_(False)] * G
             ovfls = [stv[g, ST_OVFL] > 0 for g in range(G)]
             cws = [ctrl[0, g, t] for g in range(G)]
             npres = [(cws[g] >> 8) & 0xFF for g in range(G)]
             actives = [(t <= n_rowss[g] - 2) & jnp.logical_not(stops[g])
                        & (cws[g] >> 24 > 0)
                        for g in range(G)]
+            max_np = npres[0]
+            for g in range(1, G):
+                max_np = jnp.maximum(max_np, npres[g])
 
             # --- per-g band + control scalars -> colv columns ---
             beg_sns = []
             end_sns = []
-            for g in range(G):
+            for g in range(G) if not _ABL & 8 else ():
                 beg, end = ad_bounds(g, t)
                 beg_sn = beg // pn
                 min_pb = jnp.int32(1 << 30)
@@ -248,40 +269,70 @@ def make_band_kernel(cfg: BandConfig):
                                       & (capg - beg_sn + 2 > NSEG))
                                    ).astype(jnp.int32)
                 # fold the query profile window [lo, lo+WB) into mod-WB
-                # lanes: col k0*WB + l for l >= lo mod WB, else +WB
-                base = cws[g] & 0xFF
+                # lanes: col k0*WB + l for l >= lo mod WB, else +WB.
+                # All m bases x both folds stay RESIDENT in qres; they are
+                # re-fetched only when the band crosses a WB boundary
+                # (a handful of times per sweep, vs 2 dynamic row copies
+                # per g per row)
                 lo_g = beg_sn * pn
                 k0 = lo_g // WB
-                # one packed staging store per g: beg|end<<10|lomod<<20
+                # packed staging store per g: beg|end<<10|lomod<<20
+                base = cws[g] & 0xFF
                 colv[g:g + 1, 4:5] = (beg_sn | (end_sn << 10)
                                       | ((lo_g - k0 * WB) << 20)
                                       ).reshape(1, 1)
-                qasm[g:g + 1, :] = qpf[0, g,
-                                       pl.ds(base * KW1 + k0, 1), :]
-                qasm2[g:g + 1, :] = qpf[0, g,
-                                        pl.ds(base * KW1 + k0 + 1, 1), :]
+                colv[g:g + 1, 5:6] = base.reshape(1, 1)
+
+                @pl.when(k0 != stv[g, ST_K0])
+                def _(g=g, k0=k0):
+                    for bv in range(cfg.m):
+                        qres[bv, g:g + 1, :] = qpf[
+                            0, g, pl.ds(bv * KW1 + k0, 1), :]
+                        qres[cfg.m + bv, g:g + 1, :] = qpf[
+                            0, g, pl.ds(bv * KW1 + k0 + 1, 1), :]
+                    stv[g, ST_K0] = k0
+            if _ABL & 8:
+                for g in range(G):
+                    bsn_o[0, g, t] = 0 | ((NSEG - 3) << 16)
+                    colv[g:g + 1, 4:5] = jnp.int32(
+                        (NSEG - 3) << 10).reshape(1, 1)
+                    colv[g:g + 1, 5:6] = jnp.int32(0).reshape(1, 1)
+                beg_sns = [jnp.int32(0)] * G
+                end_sns = [jnp.int32(NSEG - 3)] * G
             bel = col(4)
+            basec = col(5)
             lomodc = bel >> 20
-            qwin = jnp.where(l >= lomodc, qasm[:, :], qasm2[:, :])
+            qwinA = jnp.zeros((G, WB), jnp.int32)
+            qwinB = qwinA
+            for bv in range(cfg.m):
+                sel = basec == bv
+                qwinA = jnp.where(sel, qres[bv], qwinA)
+                qwinB = jnp.where(sel, qres[cfg.m + bv], qwinB)
+            qwin = jnp.where(l >= lomodc, qwinA, qwinB)
             begc = bel & 1023
             endc = (bel >> 10) & 1023
             capc = jnp.minimum(endc + 1, dpsnc - 1)
-            # mod-WB column map: lane l holds col c = lo + ((l - lo) % WB)
+            # mod-WB column map: lane l holds col c = lo + ((l - lo) % WB).
+            # WB is not a power of two, so spell the mod as one select on
+            # lomod = lo % WB (already staged) — a vector int remainder
+            # lowers to a per-element division chain
             lo = begc * pn
-            rel = jnp.remainder(l - lo, WB)
+            dlo = l - lomodc
+            rel = jnp.where(dlo >= 0, dlo, dlo + WB)
             c = lo + rel
             seg = c // pn
             band = (seg >= begc) & (seg <= endc)
             qrow = jnp.where((c >= 1) & (c <= qlenc), qwin, 0)
 
-            # --- merges over predecessors (port of dp_xla._merge_preds) ---
-            h = jnp.zeros((G, WB), jnp.int32)
-            e1v = h
-            e2v = h
-            for p in range(cfg.P):
+            # --- merges over predecessors (port of dp_xla._merge_preds).
+            # p=0 always runs; later predecessors accumulate into VMEM
+            # scratch under pl.when so single-predecessor rows (the vast
+            # majority of a POA graph) skip the merge blocks entirely ---
+            def merge_p(p):
                 preds = []
                 for g in range(G):
-                    pred = pre_at(g, t, p)
+                    pred = (pre_at(g, t, p) if not _ABL & 16
+                            else jnp.int32(0))
                     pv = p < npres[g]
                     pw = bsn_o[0, g, pred]
                     # one packed store: pbeg|pend<<10|pv<<20 (sentinels
@@ -291,19 +342,25 @@ def make_band_kernel(cfg: BandConfig):
                                           ).reshape(1, 1)
                     preds.append(pred)
                 # direct loads (no staging-buffer round trip)
-                preH = jnp.concatenate(
-                    [Hb[g, pl.ds(preds[g], 1), :] for g in range(G)],
-                    axis=0) if G > 1 else Hb[0, pl.ds(preds[0], 1), :]
-                if gm != LINEAR_GAP:
-                    preE1 = jnp.concatenate(
-                        [E1b[g, pl.ds(preds[g], 1), :] for g in range(G)],
-                        axis=0) if G > 1 else E1b[0, pl.ds(preds[0], 1), :]
-                    if gm == CONVEX_GAP:
-                        preE2 = jnp.concatenate(
-                            [E2b[g, pl.ds(preds[g], 1), :]
+                if _ABL & 128:
+                    preH = preE1 = preE2 = jnp.zeros((G, WB), jnp.int32)
+                else:
+                    preH = jnp.concatenate(
+                        [Hb[g, pl.ds(preds[g], 1), :] for g in range(G)],
+                        axis=0) if G > 1 else Hb[0, pl.ds(preds[0], 1), :]
+                    preE1 = preE2 = None
+                    if gm != LINEAR_GAP:
+                        preE1 = jnp.concatenate(
+                            [E1b[g, pl.ds(preds[g], 1), :]
                              for g in range(G)],
                             axis=0) if G > 1 \
-                            else E2b[0, pl.ds(preds[0], 1), :]
+                            else E1b[0, pl.ds(preds[0], 1), :]
+                        if gm == CONVEX_GAP:
+                            preE2 = jnp.concatenate(
+                                [E2b[g, pl.ds(preds[g], 1), :]
+                                 for g in range(G)],
+                                axis=0) if G > 1 \
+                                else E2b[0, pl.ds(preds[0], 1), :]
                 pbel = col(6)
                 pvc = (pbel >> 20) > 0
                 pbegc = jnp.where(pvc, pbel & 1023, 1 << 29)
@@ -327,28 +384,40 @@ def make_band_kernel(cfg: BandConfig):
                 if p == 0:
                     fill = (((seg >= begc) & (seg < _begc))
                             | ((seg > _endc) & (seg <= capc)))
-                    h = jnp.where(fill, infc, h)
-                    h = jnp.where(mmask, cand, h)
+                    h = jnp.where(fill, infc, jnp.zeros((G, WB), jnp.int32))
+                    hacc[:, :] = jnp.where(mmask, cand, h)
                 else:
-                    h = jnp.where(mmask, jnp.maximum(h, cand), h)
+                    hacc[:, :] = jnp.where(
+                        mmask, jnp.maximum(hacc[:, :], cand), hacc[:, :])
                 if gm != LINEAR_GAP:
                     _ende = jnp.minimum(pendc, endc)
                     emask = (seg >= _begc) & (seg <= _ende) & pvc
                     if p == 0:
                         efill = (((seg >= begc) & (seg < _begc))
                                  | ((seg > _ende) & (seg <= endc)))
-                        e1v = jnp.where(efill, infc, e1v)
-                        e1v = jnp.where(emask, preE1, e1v)
+                        ez = jnp.zeros((G, WB), jnp.int32)
+                        e1v = jnp.where(efill, infc, ez)
+                        e1acc[:, :] = jnp.where(emask, preE1, e1v)
                         if gm == CONVEX_GAP:
-                            e2v = jnp.where(efill, infc, e2v)
-                            e2v = jnp.where(emask, preE2, e2v)
+                            e2v = jnp.where(efill, infc, ez)
+                            e2acc[:, :] = jnp.where(emask, preE2, e2v)
                     else:
-                        e1v = jnp.where(emask,
-                                        jnp.maximum(e1v, preE1), e1v)
+                        e1acc[:, :] = jnp.where(
+                            emask, jnp.maximum(e1acc[:, :], preE1),
+                            e1acc[:, :])
                         if gm == CONVEX_GAP:
-                            e2v = jnp.where(emask,
-                                            jnp.maximum(e2v, preE2),
-                                            e2v)
+                            e2acc[:, :] = jnp.where(
+                                emask, jnp.maximum(e2acc[:, :], preE2),
+                                e2acc[:, :])
+
+            merge_p(0)
+            for p in range(1, cfg.P if not _ABL & 4 else 1):
+                @pl.when(p < max_np)
+                def _(p=p):
+                    merge_p(p)
+            h = hacc[:, :]
+            e1v = e1acc[:, :] if gm != LINEAR_GAP else h
+            e2v = e2acc[:, :] if gm == CONVEX_GAP else h
 
             def kscan_max(gv):
                 """Kogge-Stone running max in band order (rel space)."""
@@ -372,7 +441,13 @@ def make_band_kernel(cfg: BandConfig):
                                keepdims=True)
 
             # --- F phase + fold (port of dp_xla row body) ---
-            if gm == LINEAR_GAP:
+            if _ABL & 1:
+                hrow = h
+                e1row = e1v
+                e2row = e2v
+                f1row = h
+                f2row = h
+            elif gm == LINEAR_GAP:
                 gv = jnp.where(band, jnp.maximum(h, infc) + rel * e1, NEG)
                 hfin = jnp.maximum(kscan_max(gv) - rel * e1, infc)
                 hrow = jnp.where(band, hfin, h)
@@ -403,14 +478,25 @@ def make_band_kernel(cfg: BandConfig):
                 f1row = jnp.where(band, f1, 0)
                 f2row = jnp.where(band, f2, 0)
 
-            Hb[:, t, :] = hrow
-            if gm != LINEAR_GAP:
-                E1b[:, t, :] = e1row
-                F1b[:, t, :] = f1row
-            if gm == CONVEX_GAP:
-                E2b[:, t, :] = e2row
-                F2b[:, t, :] = f2row
+            if _ABL & 32:
+                Hb[:, 1, :] = hrow
+                if gm != LINEAR_GAP:
+                    E1b[:, 1, :] = e1row
+                    F1b[:, 1, :] = f1row
+                if gm == CONVEX_GAP:
+                    E2b[:, 1, :] = e2row
+                    F2b[:, 1, :] = f2row
+            else:
+                Hb[:, t, :] = hrow
+                if gm != LINEAR_GAP:
+                    E1b[:, t, :] = e1row
+                    F1b[:, t, :] = f1row
+                if gm == CONVEX_GAP:
+                    E2b[:, t, :] = e2row
+                    F2b[:, t, :] = f2row
 
+            if _ABL & 2:
+                return 0
             # --- row max with reference tie-breaks (port of dp_xla) ---
             # closed form of the segment-roll ladder: lexicographic argmax
             # by (value desc, lane-in-segment asc, aux asc); aux is unique
@@ -433,12 +519,12 @@ def make_band_kernel(cfg: BandConfig):
                                (begc + wseg_pick) * pn + lane_pick,
                                -1)
 
+            ig = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
             for g in range(G):
-                ig = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
-                mx = jnp.sum(jnp.where(ig == g, gmax, 0))
                 mi = jnp.sum(jnp.where(ig == g, maxi_c, 0))
                 stop_now = jnp.bool_(False)
                 if extend:
+                    mx = jnp.sum(jnp.where(ig == g, gmax, 0))
                     bs = stv[g, ST_BS]
                     bj = stv[g, ST_BJ]
                     better = mx > bs
@@ -457,6 +543,12 @@ def make_band_kernel(cfg: BandConfig):
                     stop_now = actives[g] & stop_now
                     stv[g, ST_STOP] = (stops[g]
                                        | stop_now).astype(jnp.int32)
+                    # cells counted in-kernel only for extend (z-drop can
+                    # stop the sweep early); global computes them from the
+                    # bsn output in the jit wrapper
+                    stv[g, ST_CELLS] = stv[g, ST_CELLS] + jnp.where(
+                        actives[g],
+                        (end_sns[g] - beg_sns[g] + 1) * pn, 0)
 
                 out_i = mi + 1
                 non = (cws[g] >> 16) & 0xFF
@@ -471,8 +563,6 @@ def make_band_kernel(cfg: BandConfig):
                                                      jnp.int32(1 << 29)))
                     mpr = jnp.maximum(mpr, jnp.where(oko, out_i, NEG))
                     mplr_o[0, g, tgt] = mpl | (mpr << 16)
-                stv[g, ST_CELLS] = stv[g, ST_CELLS] + jnp.where(
-                    actives[g], (end_sns[g] - beg_sns[g] + 1) * pn, 0)
             return 0
 
         for g in range(G):
@@ -483,7 +573,28 @@ def make_band_kernel(cfg: BandConfig):
             stv[g, ST_STOP] = 0
             stv[g, ST_CELLS] = 0
             stv[g, ST_OVFL] = ovfl0[g].astype(jnp.int32)
-        jax.lax.fori_loop(1, jnp.minimum(max_nr - 1, R - 1), body, 0)
+            stv[g, ST_K0] = -1
+        # static bounds + unroll: the per-iteration loop overhead dwarfs
+        # the body's own cost (ablated round 2: an empty body times the
+        # same as the full one), so amortize it 8 rows per trip and guard
+        # the tail rows with pl.when instead of a dynamic trip count
+        limit = jnp.minimum(max_nr - 1, R - 1)
+        U = 8   # manual unroll (Mosaic's fori only supports unroll=1|all)
+
+        def body_unrolled(blk, carry):
+            t0 = 1 + blk * U
+            for u in range(U):
+                t = t0 + u
+
+                @pl.when(t < limit)
+                def _(t=t):
+                    body(t, 0)
+            return carry
+        jax.lax.fori_loop(0, (R - 2 + U - 1) // U, body_unrolled, 0)
+        for g in range(G):
+            # the sink row is never swept; its bsn output is read by the
+            # host's live-row slice, so pin it (copy_state used to zero it)
+            bsn_o[0, g, limit] = 0
         bss = [stv[g, ST_BS] for g in range(G)]
         bis = [stv[g, ST_BI] for g in range(G)]
         bjs = [stv[g, ST_BJ] for g in range(G)]
@@ -787,9 +898,11 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=planes_scratch + [
-            pltpu.VMEM((G, 128), i32),   # colv per-g scalar staging
-            pltpu.VMEM((G, WB), i32),    # qasm (qp fold A)
-            pltpu.VMEM((G, WB), i32),    # qasm2 (qp fold B)
+            pltpu.VMEM((G, 128), i32),           # colv per-g staging
+            pltpu.VMEM((2 * cfg.m, G, WB), i32),  # resident qp folds
+            pltpu.VMEM((G, WB), i32),    # hacc (pred-merge H accum)
+            pltpu.VMEM((G, WB), i32),    # e1acc
+            pltpu.VMEM((G, WB), i32),    # e2acc
             pltpu.SMEM((G, 8), i32),     # per-instance sweep state
         ],
         compiler_params=pltpu.CompilerParams(
@@ -800,5 +913,17 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
     (bsn, mplr, misc, steps) = outs
     bsn = bsn.reshape(B, R)
     mplr = mplr.reshape(B, R)
+    misc = misc.reshape(B, M_NMISC)
+    if cfg.align_mode != EXTEND_MODE:
+        # cell count from the band output (the kernel row loop skips the
+        # per-row scalar accumulation; extend keeps it in-kernel because
+        # z-drop can stop a sweep early)
+        tix = jnp.arange(R, dtype=i32)[None, :]
+        live = ((tix >= 1) & (tix <= scal[:, S_NROWS, None] - 2)
+                & (rowmask.astype(i32) > 0))
+        cells = jnp.sum(
+            jnp.where(live, ((bsn >> 16) - (bsn & H16) + 1) * cfg.pn, 0),
+            axis=1)
+        misc = misc.at[:, M_CELLS].set(cells)
     return BandOut(bsn & H16, bsn >> 16, mplr & H16, mplr >> 16,
-                   misc.reshape(B, M_NMISC), steps.reshape(B, LS))
+                   misc, steps.reshape(B, LS))

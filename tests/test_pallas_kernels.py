@@ -64,10 +64,22 @@ def _run_kernels(fixture, n_reads, params):
                               rid, True)
 
 
-@pytest.mark.parametrize("fixture,n_reads", [("seq.fa", 5)])
-def test_fw_band_oracle_parity(fixture, n_reads):
+@pytest.mark.parametrize("fixture,n_reads,mode,gaps", [
+    ("seq.fa", 5, "global", None),
+    ("seq.fa", 4, "extend", None),
+    ("seq.fa", 4, "global", (4, 2, 0, 0)),   # affine
+    ("seq.fa", 4, "global", (0, 2, 0, 0)),   # linear
+])
+def test_fw_band_oracle_parity(fixture, n_reads, mode, gaps):
     from abpoa_tpu.ops import dp_pallas as dpp
-    params = Params().post_set()
+    from abpoa_tpu.params import EXTEND_MODE
+    params = Params()
+    if mode == "extend":
+        params.align_mode = EXTEND_MODE
+    if gaps is not None:
+        (params.gap_open1, params.gap_ext1,
+         params.gap_open2, params.gap_ext2) = gaps
+    params.post_set()
     for outF, outB, res, n in _run_kernels(fixture, n_reads, params):
         mF = np.asarray(outF.misc)[0]
         mB = np.asarray(outB.misc)[0]
