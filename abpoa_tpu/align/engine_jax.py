@@ -102,7 +102,11 @@ def export_dense(graph, params, query, min_R=64, min_W=256,
     pn, inf_min = score_dispatch(params, n, qlen)
     i2n = graph.index_to_node_id
     n2i = graph.node_id_to_index
-    R = force_R if force_R else _bucket(n, min_R)
+    # rows bucket: power-of-two up to 512, then 64-steps — a pure pow2
+    # ladder would jump 800-row graphs straight to R=1024 and push the
+    # band kernel out of its G=16 SMEM budget (fits up to R~832)
+    R = force_R if force_R else (
+        _bucket(n, min_R) if n <= 512 else (int(n) + 63) // 64 * 64)
     W_needed = ((qlen + pn) // pn) * pn
     W = force_W if force_W else _bucket(W_needed, min_W)
     banded = params.wb >= 0

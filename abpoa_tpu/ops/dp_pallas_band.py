@@ -54,9 +54,7 @@ from .dp_pallas import (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1,
 
 NEG = -(1 << 29)
 H16 = 0xFFFF
-
-import os as _os
-_ABL = int(_os.environ.get("ABPOA_KABL", "0"))  # timing ablations only
+INVALID_BITS = 15 | (15 << 4) | (15 << 8) | (15 << 14) | (15 << 18)
 
 
 class BandOut(NamedTuple):
@@ -87,6 +85,28 @@ def _log2(x: int) -> int:
     return int(x - 1).bit_length()
 
 
+def band_nplanes(gap_mode: int) -> int:
+    """Resident [G, R, WB] planes: H + BT-bits, plus E1 (affine) and E2
+    (convex). F planes do not exist — their backtrack role is baked into
+    the bits plane."""
+    return {LINEAR_GAP: 2, CONVEX_GAP: 4}.get(gap_mode, 3)
+
+
+def pick_band_G(gap_mode: int, R: int, WB: int, P: int, m: int,
+                bt_lmax: int) -> int:
+    """Largest instances-per-program packing whose VMEM planes and SMEM
+    control/output streams fit the core budgets (measured v5e: 128 MB
+    VMEM, 1 MB SMEM; leave headroom for compiler internals)."""
+    np_ = band_nplanes(gap_mode)
+    for g in (16, 8, 4, 2, 1):
+        vmem = (np_ * g * R * WB + (4 * P + 9 + 2 * m + 6) * g * WB) * 4
+        smem = 4 * g * (2 * (48 + 2 * R + R * P // 2)
+                        + 2 * (2 * R + 16 + bt_lmax) + R + 8)
+        if vmem <= 100 * 1024 * 1024 and smem <= 900 * 1024:
+            return g
+    return 0
+
+
 def make_band_kernel(cfg: BandConfig):
     pn, R, WB, G = cfg.pn, cfg.R, cfg.WB, cfg.G
     gm = cfg.gap_mode
@@ -94,7 +114,6 @@ def make_band_kernel(cfg: BandConfig):
     KW1 = cfg.Wq // WB + 1   # folded qp rows per base (last is zeros)
     NSEG = WB // pn
     P2 = cfg.P // 2
-    O2 = cfg.O // 2
 
     def iota():
         return jax.lax.broadcasted_iota(jnp.int32, (G, WB), 1)
@@ -104,10 +123,10 @@ def make_band_kernel(cfg: BandConfig):
     (ST_BS, ST_BI, ST_BJ, ST_BREM, ST_STOP, ST_CELLS, ST_OVFL,
      ST_K0) = range(8)
 
-    def kernel(scal, ctrl, preP, outP, remain, mplr0, qpf,
+    def kernel(scal, ctrl, preP, mplr0, qpf,
                bsn_o, mplr_o, misc_o, steps_o,
-               Hb, E1b, E2b, F1b, F2b, colv, qres, hacc, e1acc, e2acc,
-               stv):
+               Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
+               acc, rms, stv):
         l = iota()
 
         def sc(g, k):
@@ -120,10 +139,6 @@ def make_band_kernel(cfg: BandConfig):
         def pre_at(g, t, p):
             w = preP[0, g, t * P2 + (p >> 1)]
             return (w >> (16 * (p & 1))) & H16
-
-        def out_at(g, t, o):
-            w = outP[0, g, t * O2 + (o >> 1)]
-            return (w >> (16 * (o & 1))) & H16
 
         infs = [sc(g, S_INF) for g in range(G)]
         qlens = [sc(g, S_QLEN) for g in range(G)]
@@ -150,26 +165,16 @@ def make_band_kernel(cfg: BandConfig):
         for g in range(1, G):
             max_nr = jnp.maximum(max_nr, n_rowss[g])
 
-        # band-state init (the kernel scatters into future rows, so every
-        # live row must hold its input value before the sweep); bsn_o rows
-        # beyond the live sweep stay uninitialized — the host masks them
-        def copy_state(blk, _):
-            for u in range(8):
-                t = blk * 8 + u
-                for g in range(G):
-                    mplr_o[0, g, t] = mplr0[0, g, t]
-            return 0
-        jax.lax.fori_loop(0, (max_nr + 7) // 8, copy_state, 0)
+        # Band state is PULLED, not scattered: the reference updates each
+        # out-node's max_pos when a row's maximum lands (engine_np:397-405
+        # mirroring the adaptive-band update of simd_abpoa_align.c); since
+        # every predecessor of row t completes before t, the value row t
+        # reads equals  init (or the src overwrite, engine_np:219-224)
+        # min/maxed with rowmax[pred]+1 over its swept predecessors.
+        # rms[g, t] holds (1<<30)|out_i when row t's max may propagate
+        # (active, not z-stopped), else 0.
+        RM_OK = 1 << 30
 
-        def ad_bounds(g, t):
-            w = mplr_o[0, g, t]
-            mpl = w & H16
-            mpr = w >> 16
-            rem = remain[0, g, t] - rem_ends[g] - 1
-            beg = jnp.maximum(0, jnp.minimum(mpl, qlens[g] - rem) - ws[g])
-            end = jnp.minimum(qlens[g], jnp.maximum(mpr, qlens[g] - rem)
-                              + ws[g])
-            return beg, end
 
         # ---------------- first row (ref :553-662) ----------------
         # row 0's band begins at col 0 (mpl0[0] = 0), so its window is
@@ -178,13 +183,10 @@ def make_band_kernel(cfg: BandConfig):
         ovfl0 = []
         for g in range(G):
             mplr_o[0, g, 0] = 0
-            nout0 = (ctrl[0, g, 0] >> 16) & 0xFF
-            for o in range(cfg.O):
-                @pl.when(o < nout0)
-                def _():
-                    tgt = out_at(g, 0, o)
-                    mplr_o[0, g, tgt] = 1 | (1 << 16)
-            _, end0 = ad_bounds(g, 0)
+            rms[g, 0] = RM_OK | 1
+            rem0 = (ctrl[0, g, 0] >> 16) - rem_ends[g] - 1
+            end0 = jnp.minimum(qlens[g],
+                               jnp.maximum(0, qlens[g] - rem0) + ws[g])
             end_sn0 = end0 // pn
             bsn_o[0, g, 0] = end_sn0 << 16
             colv[g:g + 1, 3:4] = end_sn0.reshape(1, 1)
@@ -212,32 +214,24 @@ def make_band_kernel(cfg: BandConfig):
             Hb[:, 0, :] = h0
             e1r = jnp.where(l == 0, -oe1, jnp.where(hi_mask, inf, 0))
             E1b[:, 0, :] = e1r
-            f1r = jnp.where(de_mask & (l >= 1), f1v,
-                            jnp.where(l == 0, inf, 0))
-            F1b[:, 0, :] = f1r
+            # F rows are never stored: the backtrack's F conditions are
+            # baked into the BTb bits plane per row, and row 0 is never
+            # walked (the walk stops before reading i == 0)
             if gm == CONVEX_GAP:
                 E2b[:, 0, :] = jnp.where(l == 0, -oe2,
                                          jnp.where(hi_mask, inf, 0))
-                F2b[:, 0, :] = jnp.where(de_mask & (l >= 1), f2v,
-                                         jnp.where(l == 0, inf, 0))
 
         # ---------------- row sweep ----------------
-        def body_empty(t, _):
-            Hb[:, t, :] = jnp.full((G, WB), t, jnp.int32)
-            return 0
-
         def body(t, _):
-            if _ABL & 64:
-                return body_empty(t, _)
             if extend:
                 stops = [stv[g, ST_STOP] > 0 for g in range(G)]
             else:
                 stops = [jnp.bool_(False)] * G
             ovfls = [stv[g, ST_OVFL] > 0 for g in range(G)]
             cws = [ctrl[0, g, t] for g in range(G)]
-            npres = [(cws[g] >> 8) & 0xFF for g in range(G)]
+            npres = [(cws[g] >> 5) & 31 for g in range(G)]
             actives = [(t <= n_rowss[g] - 2) & jnp.logical_not(stops[g])
-                       & (cws[g] >> 24 > 0)
+                       & ((cws[g] >> 10) & 1 > 0)
                        for g in range(G)]
             max_np = npres[0]
             for g in range(1, G):
@@ -246,9 +240,13 @@ def make_band_kernel(cfg: BandConfig):
             # --- per-g band + control scalars -> colv columns ---
             beg_sns = []
             end_sns = []
-            for g in range(G) if not _ABL & 8 else ():
-                beg, end = ad_bounds(g, t)
-                beg_sn = beg // pn
+            for g in range(G):
+                # one predecessor loop pulls the band state (rms) and the
+                # beg_sn floor (bsn) together
+                iw = mplr0[0, g, t]
+                mpl = jnp.int32(1 << 29)
+                mpr = jnp.int32(-(1 << 29))
+                has_src = jnp.bool_(False)
                 min_pb = jnp.int32(1 << 30)
                 for p in range(cfg.P):
                     pv = p < npres[g]
@@ -256,7 +254,24 @@ def make_band_kernel(cfg: BandConfig):
                     min_pb = jnp.minimum(
                         min_pb, jnp.where(pv, bsn_o[0, g, pred] & H16,
                                           1 << 30))
-                beg_sn = jnp.maximum(beg_sn, min_pb)
+                    w = rms[g, pred]
+                    ok = pv & (w >= RM_OK)
+                    v = w & (RM_OK - 1)
+                    mpl = jnp.minimum(mpl, jnp.where(ok, v, 1 << 29))
+                    mpr = jnp.maximum(mpr, jnp.where(ok, v, -(1 << 29)))
+                    has_src = has_src | (pv & (pred == 0))
+                mpl = jnp.minimum(mpl, jnp.where(has_src, 1 << 29,
+                                                 iw & H16))
+                mpr = jnp.maximum(mpr, jnp.where(has_src, -(1 << 29),
+                                                 iw >> 16))
+                mplr_o[0, g, t] = mpl | (mpr << 16)
+                rem = (cws[g] >> 16) - rem_ends[g] - 1
+                beg = jnp.maximum(0, jnp.minimum(mpl, qlens[g] - rem)
+                                  - ws[g])
+                end = jnp.minimum(qlens[g],
+                                  jnp.maximum(mpr, qlens[g] - rem)
+                                  + ws[g])
+                beg_sn = jnp.maximum(beg // pn, min_pb)
                 end_sn = end // pn
                 beg_sns.append(beg_sn)
                 end_sns.append(end_sn)
@@ -277,7 +292,7 @@ def make_band_kernel(cfg: BandConfig):
                 lo_g = beg_sn * pn
                 k0 = lo_g // WB
                 # packed staging store per g: beg|end<<10|lomod<<20
-                base = cws[g] & 0xFF
+                base = cws[g] & 31
                 colv[g:g + 1, 4:5] = (beg_sn | (end_sn << 10)
                                       | ((lo_g - k0 * WB) << 20)
                                       ).reshape(1, 1)
@@ -291,14 +306,6 @@ def make_band_kernel(cfg: BandConfig):
                         qres[cfg.m + bv, g:g + 1, :] = qpf[
                             0, g, pl.ds(bv * KW1 + k0 + 1, 1), :]
                     stv[g, ST_K0] = k0
-            if _ABL & 8:
-                for g in range(G):
-                    bsn_o[0, g, t] = 0 | ((NSEG - 3) << 16)
-                    colv[g:g + 1, 4:5] = jnp.int32(
-                        (NSEG - 3) << 10).reshape(1, 1)
-                    colv[g:g + 1, 5:6] = jnp.int32(0).reshape(1, 1)
-                beg_sns = [jnp.int32(0)] * G
-                end_sns = [jnp.int32(NSEG - 3)] * G
             bel = col(4)
             basec = col(5)
             lomodc = bel >> 20
@@ -331,8 +338,7 @@ def make_band_kernel(cfg: BandConfig):
             def merge_p(p):
                 preds = []
                 for g in range(G):
-                    pred = (pre_at(g, t, p) if not _ABL & 16
-                            else jnp.int32(0))
+                    pred = pre_at(g, t, p)
                     pv = p < npres[g]
                     pw = bsn_o[0, g, pred]
                     # one packed store: pbeg|pend<<10|pv<<20 (sentinels
@@ -342,25 +348,22 @@ def make_band_kernel(cfg: BandConfig):
                                           ).reshape(1, 1)
                     preds.append(pred)
                 # direct loads (no staging-buffer round trip)
-                if _ABL & 128:
-                    preH = preE1 = preE2 = jnp.zeros((G, WB), jnp.int32)
-                else:
-                    preH = jnp.concatenate(
-                        [Hb[g, pl.ds(preds[g], 1), :] for g in range(G)],
-                        axis=0) if G > 1 else Hb[0, pl.ds(preds[0], 1), :]
-                    preE1 = preE2 = None
-                    if gm != LINEAR_GAP:
-                        preE1 = jnp.concatenate(
-                            [E1b[g, pl.ds(preds[g], 1), :]
+                preH = jnp.concatenate(
+                    [Hb[g, pl.ds(preds[g], 1), :] for g in range(G)],
+                    axis=0) if G > 1 else Hb[0, pl.ds(preds[0], 1), :]
+                preE1 = preE2 = None
+                if gm != LINEAR_GAP:
+                    preE1 = jnp.concatenate(
+                        [E1b[g, pl.ds(preds[g], 1), :]
+                         for g in range(G)],
+                        axis=0) if G > 1 \
+                        else E1b[0, pl.ds(preds[0], 1), :]
+                    if gm == CONVEX_GAP:
+                        preE2 = jnp.concatenate(
+                            [E2b[g, pl.ds(preds[g], 1), :]
                              for g in range(G)],
                             axis=0) if G > 1 \
-                            else E1b[0, pl.ds(preds[0], 1), :]
-                        if gm == CONVEX_GAP:
-                            preE2 = jnp.concatenate(
-                                [E2b[g, pl.ds(preds[g], 1), :]
-                                 for g in range(G)],
-                                axis=0) if G > 1 \
-                                else E2b[0, pl.ds(preds[0], 1), :]
+                            else E2b[0, pl.ds(preds[0], 1), :]
                 pbel = col(6)
                 pvc = (pbel >> 20) > 0
                 pbegc = jnp.where(pvc, pbel & 1023, 1 << 29)
@@ -373,14 +376,32 @@ def make_band_kernel(cfg: BandConfig):
                 # At rel==0 the roll wraps to the window's top lane, which
                 # holds pred col lo-1 (mod WB) — exactly the value the
                 # pbeg<beg boundary needs; col 0 itself has no diagonal.
-                cand = pltpu.roll(preH, 1, 1)
-                cand = jnp.where(c == 0, NEG, cand)
+                rollH = pltpu.roll(preH, 1, 1)
+                cand = jnp.where(c == 0, NEG, rollH)
                 bcol = _begc * pn
                 boundary = jnp.where(pbegc < begc, cand, infc)
                 cand = jnp.where(c == bcol, boundary, cand)
                 if gm == LINEAR_GAP:
                     cand = jnp.maximum(cand + qrow, preH - e1)
                 mmask = (seg >= _begc) & (seg <= _endc) & pvc
+
+                # save the backtrack's per-pred comparands for this row,
+                # masked by the walker's own in_band gates (band subset of
+                # the mod-WB window, so the rolled lane is exact): the
+                # bits phase below bakes every backtrack condition into
+                # BTb so the walk reads ONE plane instead of re-deriving
+                # cell comparisons (ref abpoa_align backtrack semantics,
+                # src/abpoa_align.c:64-170, via engine_np:636-935)
+                plo = pbegc * pn
+                phi = (pendc + 1) * pn - 1
+                m_in = pvc & (c - 1 >= plo) & (c - 1 <= phi)
+                okp = pvc & (c >= plo) & (c <= phi)
+                btp[4 * p + 0] = jnp.where(m_in, rollH, NEG)
+                btp[4 * p + 1] = jnp.where(okp, preH, NEG)
+                if gm != LINEAR_GAP:
+                    btp[4 * p + 2] = jnp.where(okp, preE1, NEG)
+                    if gm == CONVEX_GAP:
+                        btp[4 * p + 3] = jnp.where(okp, preE2, NEG)
                 if p == 0:
                     fill = (((seg >= begc) & (seg < _begc))
                             | ((seg > _endc) & (seg <= capc)))
@@ -411,7 +432,7 @@ def make_band_kernel(cfg: BandConfig):
                                 e2acc[:, :])
 
             merge_p(0)
-            for p in range(1, cfg.P if not _ABL & 4 else 1):
+            for p in range(1, cfg.P):
                 @pl.when(p < max_np)
                 def _(p=p):
                     merge_p(p)
@@ -441,13 +462,7 @@ def make_band_kernel(cfg: BandConfig):
                                keepdims=True)
 
             # --- F phase + fold (port of dp_xla row body) ---
-            if _ABL & 1:
-                hrow = h
-                e1row = e1v
-                e2row = e2v
-                f1row = h
-                f2row = h
-            elif gm == LINEAR_GAP:
+            if gm == LINEAR_GAP:
                 gv = jnp.where(band, jnp.maximum(h, infc) + rel * e1, NEG)
                 hfin = jnp.maximum(kscan_max(gv) - rel * e1, infc)
                 hrow = jnp.where(band, hfin, h)
@@ -478,25 +493,104 @@ def make_band_kernel(cfg: BandConfig):
                 f1row = jnp.where(band, f1, 0)
                 f2row = jnp.where(band, f2, 0)
 
-            if _ABL & 32:
-                Hb[:, 1, :] = hrow
-                if gm != LINEAR_GAP:
-                    E1b[:, 1, :] = e1row
-                    F1b[:, 1, :] = f1row
-                if gm == CONVEX_GAP:
-                    E2b[:, 1, :] = e2row
-                    F2b[:, 1, :] = f2row
-            else:
-                Hb[:, t, :] = hrow
-                if gm != LINEAR_GAP:
-                    E1b[:, t, :] = e1row
-                    F1b[:, t, :] = f1row
-                if gm == CONVEX_GAP:
-                    E2b[:, t, :] = e2row
-                    F2b[:, t, :] = f2row
+            Hb[:, t, :] = hrow
+            if gm != LINEAR_GAP:
+                E1b[:, t, :] = e1row
+            if gm == CONVEX_GAP:
+                E2b[:, t, :] = e2row
 
-            if _ABL & 2:
-                return 0
+            # --- backtrack bits (replaces the F planes): bake every
+            # condition the walker tests into one int32 per cell.
+            # Layout: [0:4] m_pick, [4:8] e1_pickM, [8:12] e1_pickX,
+            # [12] e1_openM, [13] e1_openX, [14:18] e2_pickM,
+            # [18:22] e2_pickX, [22] e2_openM, [23] e2_openX,
+            # [24] f1_open, [25] f1_ext, [26] f1_gate, [27] f2_open,
+            # [28] f2_ext, [29] f2_gate. Pick 15 = no hit. For linear
+            # gap, e1_pickM==e1_pickX carries the single E condition and
+            # [24] carries f_possible.
+            one = jnp.ones((G, WB), jnp.int32)
+            zero = jnp.zeros((G, WB), jnp.int32)
+
+            def bits_p(p):
+                mh = (btp[4 * p + 0] + qrow) == hrow
+                if gm == LINEAR_GAP:
+                    eh = (btp[4 * p + 1] - e1) == hrow
+                    e1m = e1x = eh
+                    e1o = zero > 0
+                    e2m = e2x = e1o
+                    e2o = e1o
+                else:
+                    e1v_ = btp[4 * p + 2]
+                    e1m = hrow == e1v_
+                    e1x = e1row == (e1v_ - e1)
+                    e1o = (btp[4 * p + 1] - oe1) == e1v_
+                    if gm == CONVEX_GAP:
+                        e2v_ = btp[4 * p + 3]
+                        e2m = hrow == e2v_
+                        e2x = e2row == (e2v_ - e2)
+                        e2o = (btp[4 * p + 1] - oe2) == e2v_
+                    else:
+                        e2m = e2x = e2o = zero > 0
+                if p == 0:
+                    acc[0] = jnp.where(mh, 0, 15)
+                    acc[1] = jnp.where(e1m, 0, 15)
+                    acc[2] = jnp.where(e1x, 0, 15)
+                    acc[3] = jnp.where(e1m & e1o, one, zero)
+                    acc[4] = jnp.where(e1x & e1o, one, zero)
+                    acc[5] = jnp.where(e2m, 0, 15)
+                    acc[6] = jnp.where(e2x, 0, 15)
+                    acc[7] = jnp.where(e2m & e2o, one, zero)
+                    acc[8] = jnp.where(e2x & e2o, one, zero)
+                else:
+                    u = mh & (acc[0] == 15)
+                    acc[0] = jnp.where(u, p, acc[0])
+                    u = e1m & (acc[1] == 15)
+                    acc[3] = jnp.where(u & e1o, one,
+                                       jnp.where(u, zero, acc[3]))
+                    acc[1] = jnp.where(u, p, acc[1])
+                    u = e1x & (acc[2] == 15)
+                    acc[4] = jnp.where(u & e1o, one,
+                                       jnp.where(u, zero, acc[4]))
+                    acc[2] = jnp.where(u, p, acc[2])
+                    if gm == CONVEX_GAP:
+                        u = e2m & (acc[5] == 15)
+                        acc[7] = jnp.where(u & e2o, one,
+                                           jnp.where(u, zero, acc[7]))
+                        acc[5] = jnp.where(u, p, acc[5])
+                        u = e2x & (acc[6] == 15)
+                        acc[8] = jnp.where(u & e2o, one,
+                                           jnp.where(u, zero, acc[8]))
+                        acc[6] = jnp.where(u, p, acc[6])
+
+            bits_p(0)
+            for p in range(1, cfg.P):
+                @pl.when(p < max_np)
+                def _(p=p):
+                    bits_p(p)
+
+            hprev = jnp.where(rel == 0, 0, pltpu.roll(hrow, 1, 1))
+            if gm == LINEAR_GAP:
+                fposs = (hprev - e1) == hrow
+                fb = jnp.where(fposs, one << 24, zero)
+            else:
+                f1prev = jnp.where(rel == 0, 0, pltpu.roll(f1row, 1, 1))
+                fb = (jnp.where((hprev - oe1) == f1row, one << 24, zero)
+                      | jnp.where((f1prev - e1) == f1row, one << 25, zero)
+                      | jnp.where(hrow == f1row, one << 26, zero))
+                if gm == CONVEX_GAP:
+                    f2prev = jnp.where(rel == 0, 0,
+                                       pltpu.roll(f2row, 1, 1))
+                    fb = (fb
+                          | jnp.where((hprev - oe2) == f2row,
+                                      one << 27, zero)
+                          | jnp.where((f2prev - e2) == f2row,
+                                      one << 28, zero)
+                          | jnp.where(hrow == f2row, one << 29, zero))
+            BTb[:, t, :] = (acc[0] | (acc[1] << 4) | (acc[2] << 8)
+                            | (acc[3] << 12) | (acc[4] << 13)
+                            | (acc[5] << 14) | (acc[6] << 18)
+                            | (acc[7] << 22) | (acc[8] << 23) | fb)
+
             # --- row max with reference tie-breaks (port of dp_xla) ---
             # closed form of the segment-roll ladder: lexicographic argmax
             # by (value desc, lane-in-segment asc, aux asc); aux is unique
@@ -530,7 +624,7 @@ def make_band_kernel(cfg: BandConfig):
                     better = mx > bs
                     if cfg.use_zdrop:
                         brem = stv[g, ST_BREM]
-                        delta = brem - remain[0, g, t]
+                        delta = brem - (cws[g] >> 16)
                         zlim = zdrop + e1 * jnp.abs(delta - (mi - bj))
                         stop_now = jnp.logical_not(better) \
                             & (bs - mx > zlim)
@@ -538,7 +632,7 @@ def make_band_kernel(cfg: BandConfig):
                     stv[g, ST_BS] = jnp.where(take, mx, bs)
                     stv[g, ST_BI] = jnp.where(take, t, stv[g, ST_BI])
                     stv[g, ST_BJ] = jnp.where(take, mi, bj)
-                    stv[g, ST_BREM] = jnp.where(take, remain[0, g, t],
+                    stv[g, ST_BREM] = jnp.where(take, cws[g] >> 16,
                                                 stv[g, ST_BREM])
                     stop_now = actives[g] & stop_now
                     stv[g, ST_STOP] = (stops[g]
@@ -550,26 +644,16 @@ def make_band_kernel(cfg: BandConfig):
                         actives[g],
                         (end_sns[g] - beg_sns[g] + 1) * pn, 0)
 
-                out_i = mi + 1
-                non = (cws[g] >> 16) & 0xFF
+                # successors pull this row's max position via rms
                 do_scat = actives[g] & jnp.logical_not(stop_now)
-                for o in range(cfg.O):
-                    oko = do_scat & (o < non)
-                    tgt = out_at(g, t, o)
-                    w = mplr_o[0, g, tgt]
-                    mpl = w & H16
-                    mpr = w >> 16
-                    mpl = jnp.minimum(mpl, jnp.where(oko, out_i,
-                                                     jnp.int32(1 << 29)))
-                    mpr = jnp.maximum(mpr, jnp.where(oko, out_i, NEG))
-                    mplr_o[0, g, tgt] = mpl | (mpr << 16)
+                rms[g, t] = jnp.where(do_scat, RM_OK | (mi + 1), 0)
             return 0
 
         for g in range(G):
             stv[g, ST_BS] = infs[g]
             stv[g, ST_BI] = 0
             stv[g, ST_BJ] = 0
-            stv[g, ST_BREM] = remain[0, g, 0]
+            stv[g, ST_BREM] = ctrl[0, g, 0] >> 16
             stv[g, ST_STOP] = 0
             stv[g, ST_CELLS] = 0
             stv[g, ST_OVFL] = ovfl0[g].astype(jnp.int32)
@@ -592,9 +676,28 @@ def make_band_kernel(cfg: BandConfig):
             return carry
         jax.lax.fori_loop(0, (R - 2 + U - 1) // U, body_unrolled, 0)
         for g in range(G):
-            # the sink row is never swept; its bsn output is read by the
-            # host's live-row slice, so pin it (copy_state used to zero it)
+            # the sink row is never swept: pin its bsn output and pull its
+            # band state (the host writes mpl/mpr back per row in the
+            # seeded path, sink included)
             bsn_o[0, g, limit] = 0
+            iw = mplr0[0, g, limit]
+            npre_l = (ctrl[0, g, limit] >> 5) & 31
+            mpl = jnp.int32(1 << 29)
+            mpr = jnp.int32(-(1 << 29))
+            has_src = jnp.bool_(False)
+            for p in range(cfg.P):
+                pv = p < npre_l
+                pred = pre_at(g, limit, p)
+                w = rms[g, pred]
+                ok = pv & (w >= RM_OK)
+                v = w & (RM_OK - 1)
+                mpl = jnp.minimum(mpl, jnp.where(ok, v, 1 << 29))
+                mpr = jnp.maximum(mpr, jnp.where(ok, v, -(1 << 29)))
+                has_src = has_src | (pv & (pred == 0))
+            mpl = jnp.minimum(mpl, jnp.where(has_src, 1 << 29, iw & H16))
+            mpr = jnp.maximum(mpr, jnp.where(has_src, -(1 << 29),
+                                             iw >> 16))
+            mplr_o[0, g, limit] = mpl | (mpr << 16)
         bss = [stv[g, ST_BS] for g in range(G)]
         bis = [stv[g, ST_BI] for g in range(G)]
         bjs = [stv[g, ST_BJ] for g in range(G)]
@@ -605,7 +708,7 @@ def make_band_kernel(cfg: BandConfig):
         for g in range(G):
             if cfg.align_mode == GLOBAL_MODE:
                 sink = n_rowss[g] - 1
-                npre_sink = (ctrl[0, g, sink] >> 8) & 0xFF
+                npre_sink = (ctrl[0, g, sink] >> 5) & 31
                 for p in range(cfg.P):
                     pv = p < npre_sink
                     pred = pre_at(g, sink, p)
@@ -626,116 +729,76 @@ def make_band_kernel(cfg: BandConfig):
             misc_o[0, g, M_CELLS] = cells[g]
             misc_o[0, g, M_OVFL] = ovfls[g].astype(jnp.int32)
 
-        # ------------- in-kernel backtrack (mod-WB lane reads) -------------
+        # ---- in-kernel backtrack: one BTb bits read per step ----
+        # every cell-comparison the reference walk performs
+        # (engine_np.py:636-935) was baked into BTb during the sweep; a
+        # step reads one lane, decodes, and updates (i, j, cur_op). A
+        # walk that leaves the mod-WB window (possible only on garbage
+        # paths the band cannot represent) sets M_FAIL and the host
+        # re-runs that instance on the oracle.
         if cfg.bt_lmax:
             for g in range(G):
-                def lane_at(rowv, cc, lo_i):
-                    lane = cc - (cc // WB) * WB
-                    vv = jnp.sum(jnp.where(iq == lane, rowv, 0))
-                    return jnp.where((cc >= lo_i) & (cc < lo_i + WB), vv, 0)
-
-                def cell2(ref, i, j):
-                    lo_i = (bsn_o[0, g, i] & H16) * pn
-                    rowv = ref[g, pl.ds(i, 1), :]
-                    return (lane_at(rowv, j, lo_i),
-                            lane_at(rowv, j - 1, lo_i))
-
-                def in_band_bt(i, cc):
+                def bt_body(state, g=g):
+                    (i, j, lane, cur_op, if_, nst, fail, done) = state
                     w = bsn_o[0, g, i]
-                    return (((w & H16) * pn <= cc)
-                            & (cc <= ((w >> 16) + 1) * pn - 1))
-
-                def qp_at(base, j):
-                    k0 = j // WB
-                    rowv = qpf[0, g, pl.ds(base * KW1 + k0, 1), :]
-                    lane = j - k0 * WB
-                    return jnp.sum(jnp.where(iq == lane, rowv, 0))
-
-                def bt_body(state):
-                    i, j, cur_op, if_, nst, fail, done = state
-                    hij, h_prev = cell2(Hb, i, j)
-                    base = ctrl[0, g, i] & 0xFF
-                    npre_i = (ctrl[0, g, i] >> 8) & 0xFF
-                    s = qp_at(base, j)
-                    if gm != LINEAR_GAP:
-                        e1ij, _ = cell2(E1b, i, j)
-                        f1ij, f1prev = cell2(F1b, i, j)
-                    if gm == CONVEX_GAP:
-                        e2ij, _ = cell2(E2b, i, j)
-                        f2ij, f2prev = cell2(F2b, i, j)
-                    m_hits = []
-                    e_conds = []
-                    e_newop = []
-                    e_pred = []
-                    for p in range(cfg.P):
-                        pre = pre_at(g, i, p)
-                        pv = p < npre_i
-                        hpre, hpre1 = cell2(Hb, pre, j)
-                        m_hits.append(pv & in_band_bt(pre, j - 1)
-                                      & (hpre1 + s == hij))
-                        okp = pv & in_band_bt(pre, j)
-                        if gm != LINEAR_GAP:
-                            e1pre, _ = cell2(E1b, pre, j)
-                            hit_m = (cur_op & BT_M > 0) & (hij == e1pre)
-                            hit_x = (cur_op & BT_M == 0) \
-                                & (e1ij == e1pre - e1)
-                            e_conds.append(okp & (cur_op & BT_E1 > 0)
-                                           & (hit_m | hit_x))
-                            e_newop.append(jnp.where(
-                                hpre - oe1 == e1pre,
-                                jnp.int32(BT_M | BT_F), jnp.int32(BT_E1)))
-                            e_pred.append(pre)
-                            if gm == CONVEX_GAP:
-                                e2pre, _ = cell2(E2b, pre, j)
-                                hm2 = (cur_op & BT_M > 0) & (hij == e2pre)
-                                hx2 = (cur_op & BT_M == 0) \
-                                    & (e2ij == e2pre - e2)
-                                e_conds.append(okp & (cur_op & BT_E2 > 0)
-                                               & (hm2 | hx2))
-                                e_newop.append(jnp.where(
-                                    hpre - oe2 == e2pre,
-                                    jnp.int32(BT_M | BT_F),
-                                    jnp.int32(BT_E2)))
-                                e_pred.append(pre)
-                        else:
-                            e_conds.append(okp & (hpre - e1 == hij))
-                            e_newop.append(jnp.int32(BT_ALL))
-                            e_pred.append(pre)
-                    m_pick = jnp.int32(-1)
-                    for k in reversed(range(cfg.P)):
-                        m_pick = jnp.where(m_hits[k], jnp.int32(k), m_pick)
-                    m_possible = m_pick >= 0
-                    e_pick = jnp.int32(-1)
-                    for k in reversed(range(len(e_conds))):
-                        e_pick = jnp.where(e_conds[k], jnp.int32(k),
-                                           e_pick)
-                    e_possible = e_pick >= 0
-                    e_pred_sel = jnp.int32(0)
-                    e_op_sel = jnp.int32(BT_ALL)
-                    for k in range(len(e_conds)):
-                        selk = e_pick == k
-                        e_pred_sel = jnp.where(selk, e_pred[k], e_pred_sel)
-                        e_op_sel = jnp.where(selk, e_newop[k], e_op_sel)
+                    lo_i = (w & H16) * pn
+                    rowv = BTb[g, pl.ds(i, 1), :]
+                    b = jnp.sum(jnp.where(iq == lane, rowv, 0))
+                    inw = (j >= lo_i) & (j < lo_i + WB)
+                    b = jnp.where(inw, b, INVALID_BITS)
+                    curM = cur_op & BT_M > 0
+                    mp = b & 15
+                    m_possible = mp < 15
                     if gm == LINEAR_GAP:
-                        f_possible = h_prev - e1 == hij
+                        pe = (b >> 4) & 15
+                        e_possible = pe < 15
+                        e_pick_p = pe
+                        e_op_sel = jnp.int32(BT_ALL)
+                        f_possible = ((b >> 24) & 1) > 0
                         f_op_sel = jnp.int32(BT_ALL)
                     else:
-                        f1_open = h_prev - oe1 == f1ij
-                        f1_ext = f1prev - e1 == f1ij
-                        f1_gate = jnp.where(cur_op & BT_M > 0,
-                                            hij == f1ij, True)
-                        hit_f1 = (cur_op & BT_F1 > 0) & f1_gate \
-                            & (f1_open | f1_ext)
-                        op_f1 = jnp.where(f1_open, jnp.int32(BT_M | BT_E),
+                        pe1 = jnp.where(curM, (b >> 4) & 15,
+                                        (b >> 8) & 15)
+                        e1open = jnp.where(curM, (b >> 12) & 1,
+                                           (b >> 13) & 1)
+                        e1hit = (cur_op & BT_E1 > 0) & (pe1 < 15)
+                        if gm == CONVEX_GAP:
+                            pe2 = jnp.where(curM, (b >> 14) & 15,
+                                            (b >> 18) & 15)
+                            e2open = jnp.where(curM, (b >> 22) & 1,
+                                               (b >> 23) & 1)
+                            e2hit = (cur_op & BT_E2 > 0) & (pe2 < 15)
+                        else:
+                            pe2 = jnp.int32(15)
+                            e2open = jnp.int32(0)
+                            e2hit = jnp.bool_(False)
+                        # original candidate order interleaves
+                        # (p0.e1, p0.e2, p1.e1, ...): first hit wins
+                        k1 = jnp.where(e1hit, 2 * pe1, 99)
+                        k2 = jnp.where(e2hit, 2 * pe2 + 1, 99)
+                        use_e1 = k1 <= k2
+                        e_possible = jnp.minimum(k1, k2) < 99
+                        e_pick_p = jnp.where(use_e1, pe1, pe2)
+                        e_op_sel = jnp.where(
+                            use_e1,
+                            jnp.where(e1open > 0, jnp.int32(BT_M | BT_F),
+                                      jnp.int32(BT_E1)),
+                            jnp.where(e2open > 0, jnp.int32(BT_M | BT_F),
+                                      jnp.int32(BT_E2)))
+                        f1o = ((b >> 24) & 1) > 0
+                        f1x = ((b >> 25) & 1) > 0
+                        f1g = ((b >> 26) & 1) > 0
+                        hit_f1 = (cur_op & BT_F1 > 0) \
+                            & jnp.where(curM, f1g, True) & (f1o | f1x)
+                        op_f1 = jnp.where(f1o, jnp.int32(BT_M | BT_E),
                                           jnp.int32(BT_F1))
                         if gm == CONVEX_GAP:
-                            f2_open = h_prev - oe2 == f2ij
-                            f2_ext = f2prev - e2 == f2ij
-                            f2_gate = jnp.where(cur_op & BT_M > 0,
-                                                hij == f2ij, True)
-                            hit_f2 = (cur_op & BT_F2 > 0) & f2_gate \
-                                & (f2_open | f2_ext)
-                            op_f2 = jnp.where(f2_open,
+                            f2o = ((b >> 27) & 1) > 0
+                            f2x = ((b >> 28) & 1) > 0
+                            f2g = ((b >> 29) & 1) > 0
+                            hit_f2 = (cur_op & BT_F2 > 0) \
+                                & jnp.where(curM, f2g, True) & (f2o | f2x)
+                            op_f2 = jnp.where(f2o,
                                               jnp.int32(BT_M | BT_E),
                                               jnp.int32(BT_F2))
                         else:
@@ -743,8 +806,7 @@ def make_band_kernel(cfg: BandConfig):
                             op_f2 = jnp.int32(BT_ALL)
                         f_possible = hit_f1 | hit_f2
                         f_op_sel = jnp.where(hit_f1, op_f1, op_f2)
-                    use_m1 = (cur_op & BT_M > 0) & jnp.logical_not(if_) \
-                        & m_possible
+                    use_m1 = curM & jnp.logical_not(if_) & m_possible
                     if gm == LINEAR_GAP:
                         use_e = jnp.logical_not(use_m1) & e_possible
                     else:
@@ -767,10 +829,12 @@ def make_band_kernel(cfg: BandConfig):
                     any_hit = use_m1 | use_e | use_f | use_m2
                     fail = fail | jnp.logical_not(any_hit)
                     use_m = use_m1 | use_m2
-                    m_pred = jnp.int32(0)
-                    for p in range(cfg.P):
-                        m_pred = jnp.where(m_pick == p, pre_at(g, i, p),
-                                           m_pred)
+                    # pre_at with a traced p: clamp first (pick 15 means
+                    # the value is unused but the SMEM read must stay in
+                    # bounds)
+                    m_pred = pre_at(g, i, jnp.minimum(mp, cfg.P - 1))
+                    e_pred_sel = pre_at(g, i,
+                                        jnp.minimum(e_pick_p, cfg.P - 1))
                     op_code = jnp.where(use_m, 0,
                                         jnp.where(use_e, 2, 1))
 
@@ -780,26 +844,30 @@ def make_band_kernel(cfg: BandConfig):
                     nst = jnp.where(any_hit, nst + 1, nst)
                     new_i = jnp.where(use_m, m_pred,
                                       jnp.where(use_e, e_pred_sel, i))
-                    new_j = jnp.where(use_m | use_f, j - 1, j)
+                    dj = use_m | use_f
+                    new_j = jnp.where(dj, j - 1, j)
+                    nl = jnp.where(dj, lane - 1, lane)
+                    new_lane = jnp.where(nl < 0, nl + WB, nl)
                     new_cur = jnp.where(
                         use_m, jnp.int32(BT_ALL),
                         jnp.where(use_e, e_op_sel,
                                   jnp.where(use_f, f_op_sel, cur_op)))
                     new_if = jnp.where(use_m, jnp.bool_(False), if_)
                     done = fail | (new_i <= 0) | (new_j <= 0)
-                    return (new_i, new_j, new_cur, new_if, nst, fail,
-                            done)
+                    return (new_i, new_j, new_lane, new_cur, new_if, nst,
+                            fail, done)
 
                 def bt_cond(state):
-                    i, j, cur_op, if_, nst, fail, done = state
+                    (i, j, lane, cur_op, if_, nst, fail, done) = state
                     return jnp.logical_not(done) & (nst < cfg.bt_lmax)
 
                 # overflowed instances skip the backtrack (host re-runs
                 # them on the fallback engine anyway)
-                bt_init = (bis[g], bjs[g], jnp.int32(BT_ALL),
+                lane0 = bjs[g] - (bjs[g] // WB) * WB
+                bt_init = (bis[g], bjs[g], lane0, jnp.int32(BT_ALL),
                            jnp.bool_(True), jnp.int32(0), jnp.bool_(False),
                            (bis[g] <= 0) | (bjs[g] <= 0) | ovfls[g])
-                (ei, ej, _, _, nst, btfail, _) = jax.lax.while_loop(
+                (ei, ej, _, _, _, nst, btfail, _) = jax.lax.while_loop(
                     bt_cond, bt_body, bt_init)
                 misc_o[0, g, M_NSTEPS] = nst
                 misc_o[0, g, M_FAIL] = btfail.astype(jnp.int32)
@@ -849,12 +917,13 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
     qpf = qpf.reshape(B, cfg.m * (KW + 1), WB)
 
     # pack the per-row control streams into 16-bit halves (SMEM is 1 MB)
-    ctrl = (bases.astype(i32) | (pre_n.astype(i32) << 8)
-            | (out_n.astype(i32) << 16) | (rowmask.astype(i32) << 24))
+    assert cfg.P < 32 and cfg.m < 32
+    ctrl = (bases.astype(i32) | (pre_n.astype(i32) << 5)
+            | (rowmask.astype(i32) << 10)
+            | (remain.astype(i32) << 16))
     pre2 = pre_idx.astype(i32).reshape(B, R * cfg.P // 2, 2)
     preP = pre2[:, :, 0] | (pre2[:, :, 1] << 16)
-    out2 = out_idx.astype(i32).reshape(B, R * cfg.O // 2, 2)
-    outP = out2[:, :, 0] | (out2[:, :, 1] << 16)
+    # out_idx/out_n are unused: band state is pulled from predecessors
     mplr0 = mpl0.astype(i32) | (mpr0.astype(i32) << 16)
 
     def grp(x, *shape):
@@ -881,16 +950,17 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
     )
     out_specs = (smem(R), smem(R), smem(M_NMISC), smem(LS))
     in_specs = [smem(S_NSCAL), smem(R), smem(R * cfg.P // 2),
-                smem(R * cfg.O // 2), smem(R), smem(R),
-                vmem(cfg.m * (KW + 1), WB)]
+                smem(R), vmem(cfg.m * (KW + 1), WB)]
     full = pltpu.VMEM((G, R, WB), i32)
     dummy = pltpu.VMEM((G, 1, 128), i32)
+    # planes: H, E1, E2, BT-bits (F planes are gone — the backtrack walks
+    # on baked bits, not on F values)
     if gm_ == CONVEX_GAP:
-        planes_scratch = [full, full, full, full, full]
+        planes_scratch = [full, full, full, full]
     elif gm_ == LINEAR_GAP:
-        planes_scratch = [full, dummy, dummy, dummy, dummy]
+        planes_scratch = [full, dummy, dummy, full]
     else:
-        planes_scratch = [full, full, dummy, full, dummy]
+        planes_scratch = [full, full, dummy, full]
     outs = pl.pallas_call(
         kern,
         grid=(NP_,),
@@ -903,12 +973,15 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
             pltpu.VMEM((G, WB), i32),    # hacc (pred-merge H accum)
             pltpu.VMEM((G, WB), i32),    # e1acc
             pltpu.VMEM((G, WB), i32),    # e2acc
+            pltpu.VMEM((4 * cfg.P, G, WB), i32),  # per-pred bt comparands
+            pltpu.VMEM((9, G, WB), i32),  # bt pick accumulators
+            pltpu.SMEM((G, R), i32),     # rms: per-row max-pos (pulled)
             pltpu.SMEM((G, 8), i32),     # per-instance sweep state
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(grp(scal), grp(ctrl), grp(preP), grp(outP), grp(remain),
+    )(grp(scal), grp(ctrl), grp(preP),
       grp(mplr0), grp(qpf, cfg.m * (KW + 1), WB))
     (bsn, mplr, misc, steps) = outs
     bsn = bsn.reshape(B, R)

@@ -59,7 +59,22 @@ def _stack_inputs(dgs, params):
 
 
 _DISPATCH_POOL = None
+_HOST_POOL = None
 _MESH_KERN_CACHE: dict = {}
+
+
+def _host_pool():
+    """Shared pool for per-instance host work (graph fusion, toposort,
+    export). The hot paths are C calls through ctypes, which release the
+    GIL, so instance-level threading gives real parallelism."""
+    global _HOST_POOL
+    if _HOST_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        _HOST_POOL = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 4),
+            thread_name_prefix="abpoa-host")
+    return _HOST_POOL
 
 
 class BatchPOA:
@@ -158,19 +173,26 @@ class BatchPOA:
             self.rounds += 1
         return abs_
 
+    N_SHARDS = 4
+
     def _run_pipelined(self, abs_, instances):
-        """Two-shard software pipeline: while shard A's kernel runs on the
-        device, the host fuses shard B's previous results and prepares B's
-        next round (device dispatch is async; only the result fetch in
-        _pallas_collect blocks). Ideal cost per round: max(host, device)
-        instead of host + device."""
+        """Multi-shard software pipeline: the instance list splits into S
+        shards; each shard's round is prepped on the main thread, then its
+        upload + kernel + result fetch run on a worker thread (transport
+        I/O and the C host kernels release the GIL), while the main thread
+        fuses whichever shard's results arrived first. With the tunnel's
+        ~30 ms dispatch/fetch RTT this keeps the device busy: S-1 rounds
+        are in flight while one is being fused."""
+        from collections import deque
         params = self.params
         n = len(instances)
-        shards = [list(range(0, n, 2)), list(range(1, n, 2))]
-        rounds = [0, 0]
+        S = min(self.N_SHARDS, max(1, n // 4))
+        shards = [list(range(s, n, S)) for s in range(S)]
+        rounds = [0] * S
         n_rounds = [max((len(instances[k]) for k in s), default=0)
                     for s in shards]
-        pending = [None, None]
+        pending = [None] * S
+        fifo = deque()
 
         def prep_and_dispatch(s):
             r = rounds[s]
@@ -182,14 +204,17 @@ class BatchPOA:
                     ab.graph.add_graph_alignment(params, q, [1] * len(q),
                                                  [], None, r, True)
                 else:
-                    if not ab.graph.is_topological_sorted:
-                        ab.graph.topological_sort(params)
                     todo.append(k)
             rounds[s] += 1
             if not todo:
                 return []
-            nat = {k: export_dense(abs_[k].graph, params, instances[k][r])
-                   for k in todo}
+
+            def sort_export(k):
+                g = abs_[k].graph
+                if not g.is_topological_sorted:
+                    g.topological_sort(params)
+                return export_dense(g, params, instances[k][r])
+            nat = dict(zip(todo, _host_pool().map(sort_export, todo)))
             R = max(d.R for d in nat.values())
             W = max(d.W for d in nat.values())
             P_ = max(d.P for d in nat.values())
@@ -204,18 +229,18 @@ class BatchPOA:
                     pends.append(pend)
             return pends
 
-        while (rounds[0] < n_rounds[0] or rounds[1] < n_rounds[1]
-               or pending[0] or pending[1]):
-            for s in (0, 1):
-                o = 1 - s
+        while True:
+            for s in range(S):
                 if pending[s] is None and rounds[s] < n_rounds[s]:
                     pending[s] = prep_and_dispatch(s)
+                    fifo.append(s)
                     self.rounds += 1
-                if pending[o]:
-                    for pend in pending[o]:
-                        self._pallas_collect(pend)
-                if pending[o] is not None:
-                    pending[o] = None
+            if not fifo:
+                break
+            s = fifo.popleft()
+            for pend in pending[s]:
+                self._pallas_collect(pend)
+            pending[s] = None
 
     # -------------------------------------------------------------- #
     def run_seeded(self, instances) -> list[ABPOA]:
@@ -336,15 +361,15 @@ class BatchPOA:
             fl[3] = O_ = max(fl[3], max(d[4].O for d in items))
             Wq = self._seed_wq_cap
             dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
-            LMAX = ((R + Wq) + 511) // 512 * 512
+            LMAX = (R + Wq + 63) // 64 * 64
             # v4 banded kernel when the band tile applies; else full-width
             from ..align.engine_jax import pick_WB
             WB = pick_WB(params, self._seed_wq_cap, pn)
-            use_band = (params.wb >= 0 and Wq < 32000 and R <= 4096
-                        and 5 * 8 * R * WB * 4 <= 100 * 1024 * 1024)
-            if use_band:
-                G = 8  # constant: a varying G would multiply kernel shapes
-            else:
+            from ..ops.dp_pallas_band import pick_band_G
+            G = pick_band_G(params.gap_mode, R, WB, P_, params.m, LMAX)
+            use_band = (G > 0 and params.wb >= 0 and Wq < 32000
+                        and R <= 4096 and P_ < 32)
+            if not use_band:
                 G = 4 if len(items) >= 4 else (2 if len(items) >= 2 else 1)
                 while 5 * G * R * Wq * 4 > 100 * 1024 * 1024 and G > 1:
                     G //= 2
@@ -454,23 +479,21 @@ class BatchPOA:
         from ..params import LINEAR_GAP, CONVEX_GAP
         WB = max(pick_WB(params, dg.qlen, dg.pn) for dg in dgs)
         Wq = max((dg.qlen // 128 + 1) * 128 for dg in dgs)
-        LMAX = ((dgs[0].R + Wq) + 511) // 512 * 512
+        LMAX = (dgs[0].R + Wq + 63) // 64 * 64
         R = dgs[0].R
-        nplanes = {LINEAR_GAP: 1, CONVEX_GAP: 5}.get(params.gap_mode, 3)
         # v4 mod-WB banded kernel: G instances per program on [G, R, WB]
         # planes; per-instance band overflow falls back via M_OVFL
-        Gb = 0
-        for g in (8, 4, 2, 1):
-            if nplanes * g * R * WB * 4 <= 100 * 1024 * 1024:
-                Gb = g
-                break
+        from ..ops.dp_pallas_band import pick_band_G
+        Gb = pick_band_G(params.gap_mode, R, WB,
+                         max(d.P for d in dgs), params.m, LMAX)
         # packed 16-bit control words need qlen < 32766 and R <= 4096;
         # unbanded (-b -1) computes full rows -> fw kernel
         use_band = (Gb > 0 and Wq < 32000 and R <= 4096
-                    and params.wb >= 0)
+                    and max(d.P for d in dgs) < 32 and params.wb >= 0)
         if not use_band:
             # full-width kernel (dp_pallas_fw) when its planes fit VMEM;
             # otherwise the v1 banded-tile kernel
+            nplanes = {LINEAR_GAP: 1, CONVEX_GAP: 5}.get(params.gap_mode, 3)
             G = 0
             for g in (4, 2, 1):
                 if nplanes * g * R * Wq * 4 <= 100 * 1024 * 1024:
@@ -539,24 +562,27 @@ class BatchPOA:
                     out_specs=P(self.batch_axis), check_rep=False))
             kern_fn = _MESH_KERN_CACHE[key]
 
-        # the host->device upload and dispatch block on the transport; run
-        # them in the worker thread so the pipeline's host work (fusion,
-        # export) truly overlaps (I/O releases the GIL)
+        # upload, dispatch AND result fetch all block on the tunnel RTT;
+        # run the whole device round in a worker thread so transport
+        # overlaps both the main thread's fusion and the other in-flight
+        # shards' kernels (I/O releases the GIL)
         def submit():
             stacked = tuple(jnp.asarray(a) for a in stacked_np)
-            return kern_fn(*stacked)
+            out = kern_fn(*stacked)
+            return jax.device_get((out.misc[:nb], out.steps[:nb]))
         fut = self._pool().submit(submit)
         return dict(future=fut, nb=nb, abs_=abs_, group=group, r=r,
                     instances=instances, t0=t0)
 
     def _pool(self):
-        # one shared dispatch worker for the process (BatchPOA instances
+        # one shared dispatch pool for the process (BatchPOA instances
         # are created per run; per-instance executors would leak threads)
         global _DISPATCH_POOL
         if _DISPATCH_POOL is None:
             from concurrent.futures import ThreadPoolExecutor
             _DISPATCH_POOL = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="abpoa-dispatch")
+                max_workers=self.N_SHARDS,
+                thread_name_prefix="abpoa-dispatch")
         return _DISPATCH_POOL
 
     def _pallas_collect(self, pend):
@@ -568,17 +594,17 @@ class BatchPOA:
         from ..params import SRC_NODE_ID, SINK_NODE_ID
         params = self.params
         import jax
-        out, nb = pend["future"].result(), pend["nb"]
+        (misc, steps), nb = pend["future"].result(), pend["nb"]
         abs_, group, r = pend["abs_"], pend["group"], pend["r"]
         instances = pend["instances"]
-        # sync point; slice on device so padding never crosses the link
-        misc, steps = jax.device_get((out.misc[:nb], out.steps[:nb]))
         t1 = time.perf_counter()
         self.dp_seconds += t1 - pend["t0"]
         self.dp_intervals.append((pend["t0"], t1))
         self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
         from ..graph import NativeGraph
-        for b, k in enumerate(group):
+
+        def fuse_one(b_k):
+            b, k = b_k
             ab = abs_[k]
             q = instances[k][r]
             bad = bool(misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL])
@@ -589,7 +615,7 @@ class BatchPOA:
                 # per-read body (bit-equal to the device fwd by the
                 # engine equivalence chain), ref abpoa_align.c:315
                 ab.poa_one(params, q, [1] * len(q), r)
-                continue
+                return
             if bad:
                 self.fallbacks += 1
                 res = align_sequence_to_subgraph(
@@ -602,7 +628,7 @@ class BatchPOA:
                                     int(misc[b, dpp.M_NSTEPS]),
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDJ]), q, r, True)
-                continue
+                return
             else:
                 res = AlignResult()
                 res.best_score = int(misc[b, dpp.M_BEST])
@@ -614,6 +640,10 @@ class BatchPOA:
                                     int(misc[b, dpp.M_ENDJ]), res)
             ab.graph.add_graph_alignment(params, q, [1] * len(q),
                                          res.cigar, None, r, True)
+
+        # instance-parallel fusion: each b mutates a different graph, and
+        # the hot path is one C call (GIL released)
+        list(_host_pool().map(fuse_one, enumerate(group)))
 
     def _amb_flagged(self, ab, q, score: int) -> bool:
         """Ambiguous-strand retry threshold (ref abpoa_align.c:315)."""
