@@ -259,6 +259,17 @@ def backtrack_batch(cfg: BTConfig, Hb, E1b, E2b, F1b, F2b, beg_sn, end_sn,
                         oe2.astype(i32))
 
 
+def unpack_steps16(s16, n_steps: int, best_i: int, best_j: int):
+    """Rebuild int32 step words (op|i<<2|j<<14) from the device's int16
+    delta stream (op|dj<<2|di<<3): the walk starts at (best_i, best_j)
+    with zero first deltas, and i/j are non-increasing along it."""
+    raw = np.asarray(s16[:n_steps]).astype(np.int32) & 0xFFFF
+    op = raw & 3
+    i = best_i - np.cumsum((raw >> 3) & 0x1FFF)
+    j = best_j - np.cumsum((raw >> 2) & 1)
+    return op | (i << 2) | (j << 14)
+
+
 def replay_steps(graph, params, query, steps, n_steps, best_i, best_j,
                  end_i, end_j, res, row0=0):
     """Host replay: packed device steps -> reference cigar list + res

@@ -64,6 +64,10 @@ class BandOut(NamedTuple):
     mpr: jax.Array
     misc: jax.Array    # [B, M_NMISC]
     steps: jax.Array   # [B, bt_lmax]
+    steps16: jax.Array  # [B, bt_lmax] int16 delta stream (op|dj<<2|di<<3);
+    #                     half the fetch bytes of steps over the ~16 MB/s
+    #                     tunnel downlink; bt_xla.unpack_steps16 rebuilds
+    #                     the int32 words
 
 
 class BandConfig(NamedTuple):
@@ -79,6 +83,9 @@ class BandConfig(NamedTuple):
     use_zdrop: bool
     bt_lmax: int
     G: int       # instances packed per program (sublane dim)
+    fresh: bool = False   # band-state init is the post-sort reset pattern
+                          # (mpl=n_rows, mpr=0): synthesized on device, the
+                          # mpl0/mpr0 inputs may be 1-element dummies
 
 
 def _log2(x: int) -> int:
@@ -924,7 +931,12 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
     pre2 = pre_idx.astype(i32).reshape(B, R * cfg.P // 2, 2)
     preP = pre2[:, :, 0] | (pre2[:, :, 1] << 16)
     # out_idx/out_n are unused: band state is pulled from predecessors
-    mplr0 = mpl0.astype(i32) | (mpr0.astype(i32) << 16)
+    if cfg.fresh:
+        # post-toposort reset pattern (graph.py topological_sort):
+        # max_pos_left = node_n, max_pos_right = 0 for every node
+        mplr0 = jnp.broadcast_to(scal[:, S_NROWS, None], (B, R))
+    else:
+        mplr0 = mpl0.astype(i32) | (mpr0.astype(i32) << 16)
 
     def grp(x, *shape):
         return x.astype(i32).reshape(NP_, G, *(shape if shape else (-1,)))
@@ -998,5 +1010,14 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
             jnp.where(live, ((bsn >> 16) - (bsn & H16) + 1) * cfg.pn, 0),
             axis=1)
         misc = misc.at[:, M_CELLS].set(cells)
+    st = steps.reshape(B, LS)
+    # delta-compress the step stream on device: i/j are non-increasing
+    # along the walk and pred jumps fit 13 bits (di <= R-1 < 4096)
+    iseq = (st >> 2) & 0xFFF
+    jseq = st >> 14
+    prev_i = jnp.concatenate([misc[:, M_BI:M_BI + 1], iseq[:, :-1]], 1)
+    prev_j = jnp.concatenate([misc[:, M_BJ:M_BJ + 1], jseq[:, :-1]], 1)
+    s16 = ((st & 3) | ((prev_j - jseq) << 2)
+           | ((prev_i - iseq) << 3)).astype(jnp.int16)
     return BandOut(bsn & H16, bsn >> 16, mplr & H16, mplr >> 16,
-                   misc, steps.reshape(B, LS))
+                   misc, st, s16)

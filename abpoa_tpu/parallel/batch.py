@@ -403,15 +403,24 @@ class BatchPOA:
                               use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=G,
                               banded=params.wb >= 0)
                 kern = fw_poa_dp_batch
-            stacked = tuple(jnp.asarray(np.stack(
-                [a[i] for a in arrs] + [arrs[0][i]] * pad))
+            dummy_out = {4, 5} if use_band else set()
+            stacked = tuple(
+                jnp.asarray(np.zeros((nb + pad, 1), np.int8))
+                if i in dummy_out
+                else jnp.asarray(np.stack(
+                    [a[i] for a in arrs] + [arrs[0][i]] * pad))
                 for i in range(len(arrs[0])))
+            step_cap = min(LMAX, (max(d[4].n_rows for d in items)
+                                  + max(d[4].qlen for d in items)
+                                  + 71) // 64 * 64)
             t0 = time.perf_counter()
             out = kern(kc, *stacked)
             # slice on device, then fetch: the padded tail never crosses
-            # the (slow) host link
+            # the (slow) host link; band rounds fetch the int16 delta
+            # stream (half the downlink bytes)
             misc = np.asarray(out.misc[:nb])
-            steps = np.asarray(out.steps[:nb])
+            steps = np.asarray((out.steps16 if use_band
+                                else out.steps)[:nb, :step_cap])
             t1 = time.perf_counter()
             self.dp_seconds += t1 - t0
             self.dp_intervals.append((t0, t1))
@@ -436,8 +445,13 @@ class BatchPOA:
                 g.node_id_to_max_pos_right[ids] = mpr[b, :n]
                 res = AlignResult()
                 res.best_score = int(misc[b, dpp.M_BEST])
+                nst = int(misc[b, dpp.M_NSTEPS])
+                stp = (bt_xla.unpack_steps16(steps[b], nst,
+                                             int(misc[b, dpp.M_BI]),
+                                             int(misc[b, dpp.M_BJ]))
+                       if use_band else steps[b])
                 bt_xla.replay_steps(g, params, np.asarray(window),
-                                    steps[b], int(misc[b, dpp.M_NSTEPS]),
+                                    stp, nst,
                                     int(misc[b, dpp.M_BI]),
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDI]),
@@ -518,7 +532,17 @@ class BatchPOA:
             if self.mesh is not None else 1
         chunk = (Gb if use_band else (G if use_fw else 1)) * ndev
         pad = (-nb) % chunk
-        stacked_np = [np.stack([a[i] for a in arrs] + [arrs[0][i]] * pad)
+        # the band kernel pulls band state from predecessors and never
+        # reads out_idx/out_n (tuple slots 4/5); the whole-graph path runs
+        # right after a toposort, so mpl0/mpr0 (slots 8/9) are the reset
+        # pattern the kernel synthesizes itself (fresh=True). Ship
+        # 1-element dummies — the tunnel uplink is ~60 MB/s, so
+        # ~12 KB/instance matters
+        dummy_out = {4, 5, 8, 9} if use_band else set()
+        stacked_np = [np.zeros((len(arrs) + pad, 1), np.int8)
+                      if i in dummy_out
+                      else np.stack([a[i] for a in arrs]
+                                    + [arrs[0][i]] * pad)
                       for i in range(len(arrs[0]))]
         t0 = time.perf_counter()
         if use_band:
@@ -526,7 +550,8 @@ class BatchPOA:
             bc = BandConfig(gap_mode=cfg.gap_mode,
                             align_mode=cfg.align_mode, pn=cfg.pn, R=R,
                             WB=WB, Wq=WqB, P=cfg.P, O=cfg.O, m=cfg.m,
-                            use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=Gb)
+                            use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=Gb,
+                            fresh=True)
             kern_fn = lambda *a: band_poa_dp_batch(bc, *a)  # noqa: E731
         elif use_fw:
             from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
@@ -566,13 +591,20 @@ class BatchPOA:
         # run the whole device round in a worker thread so transport
         # overlaps both the main thread's fusion and the other in-flight
         # shards' kernels (I/O releases the GIL)
+        # fetch cap: a walk step always decrements i or j, so the path is
+        # bounded by live rows + query length — fetching the full padded
+        # step buffer would waste the ~16 MB/s tunnel downlink
+        step_cap = min(LMAX, (max(d.n_rows for d in dgs)
+                              + max(d.qlen for d in dgs) + 71) // 64 * 64)
+
         def submit():
             stacked = tuple(jnp.asarray(a) for a in stacked_np)
             out = kern_fn(*stacked)
-            return jax.device_get((out.misc[:nb], out.steps[:nb]))
+            st = out.steps16 if use_band else out.steps
+            return jax.device_get((out.misc[:nb], st[:nb, :step_cap]))
         fut = self._pool().submit(submit)
         return dict(future=fut, nb=nb, abs_=abs_, group=group, r=r,
-                    instances=instances, t0=t0)
+                    instances=instances, t0=t0, band=use_band)
 
     def _pool(self):
         # one shared dispatch pool for the process (BatchPOA instances
@@ -608,6 +640,11 @@ class BatchPOA:
             ab = abs_[k]
             q = instances[k][r]
             bad = bool(misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL])
+            nst = int(misc[b, dpp.M_NSTEPS])
+            stp = (bt_xla.unpack_steps16(steps[b], nst,
+                                         int(misc[b, dpp.M_BI]),
+                                         int(misc[b, dpp.M_BJ]))
+                   if pend.get("band") else steps[b])
             if params.amb_strand and (
                     bad or self._amb_flagged(ab, q,
                                              int(misc[b, dpp.M_BEST]))):
@@ -624,8 +661,7 @@ class BatchPOA:
             elif isinstance(ab.graph, NativeGraph) and not params.rev_cigar:
                 # native fast path: replay the step stream and fuse it in
                 # one C pass, no Python cigar materialization
-                ab.graph.fuse_steps(params, 0, steps[b],
-                                    int(misc[b, dpp.M_NSTEPS]),
+                ab.graph.fuse_steps(params, 0, stp, nst,
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDJ]), q, r, True)
                 return
@@ -633,7 +669,7 @@ class BatchPOA:
                 res = AlignResult()
                 res.best_score = int(misc[b, dpp.M_BEST])
                 bt_xla.replay_steps(ab.graph, params, np.asarray(q),
-                                    steps[b], int(misc[b, dpp.M_NSTEPS]),
+                                    stp, nst,
                                     int(misc[b, dpp.M_BI]),
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDI]),
