@@ -64,12 +64,24 @@ class DenseGraph:
 
 def subgraph_index_map(graph, beg_index: int, end_index: int) -> np.ndarray:
     """Reachability mask within the subgraph interval
-    (ref simd_abpoa_align_sequence_to_subgraph :1650-1660). CSR-based:
-    the node-object walk materialized the whole store per window."""
-    n2i = np.asarray(graph.node_id_to_index, dtype=np.int64)
+    (ref simd_abpoa_align_sequence_to_subgraph :1650-1660). CSR-based;
+    the row-by-row sweep runs in C when the native lib is available
+    (~1.3 ms/window in numpy was the seeded path's hottest host item)."""
+    from .. import native
     c = graph.build_csr()
     out_flat = c["out_flat"]
     out_off = c["out_off"]
+    if native.get_lib() is not None:
+        mask = native.subgraph_reach(
+            graph.node_n, beg_index, end_index,
+            np.ascontiguousarray(out_flat, dtype=np.int32),
+            np.ascontiguousarray(out_off, dtype=np.int32),
+            np.ascontiguousarray(graph.index_to_node_id[:graph.node_n],
+                                 dtype=np.int32),
+            np.ascontiguousarray(graph.node_id_to_index[:graph.node_n],
+                                 dtype=np.int32))
+        return mask.astype(bool)
+    n2i = np.asarray(graph.node_id_to_index, dtype=np.int64)
     index_map = np.zeros(graph.node_n, dtype=bool)
     index_map[beg_index] = index_map[end_index] = True
     i2n = graph.index_to_node_id

@@ -58,6 +58,9 @@ def get_lib():
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
             fn.argtypes = [_i32] + [_i32p] * nargs
+        lib.subgraph_reach.restype = ctypes.c_int
+        lib.subgraph_reach.argtypes = [_i32, _i32, _i32] + [_i32p] * 4 \
+            + [ctypes.POINTER(ctypes.c_uint8)]
         # poagraph store API
         sigs = {
             "pg_new": (_vp, []),
@@ -139,6 +142,16 @@ def set_remain(n, out_flat, out_off, out_w_flat, in_flat, in_off, out_cnt):
     if rc != 0:
         raise RuntimeError("Failed to set node remain.")
     return remain
+
+
+def subgraph_reach(n, beg_index, end_index, out_flat, out_off, i2n, n2i):
+    lib = get_lib()
+    mask = np.zeros(n, dtype=np.uint8)
+    lib.subgraph_reach(
+        n, beg_index, end_index, _p(out_flat), _p(out_off),
+        _p(i2n), _p(n2i),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return mask
 
 
 def msa_rank(n, out_flat, out_off, in_cnt, aligned_flat, aligned_off):

@@ -141,3 +141,25 @@ int msa_rank(int32_t n,
     free(indeg); free(stack);
     return rc;
 }
+
+/* Reachability mask for a subgraph interval [beg_index, end_index]
+ * (ref simd_abpoa_align_sequence_to_subgraph, src/simd_abpoa_align.c
+ * :1650-1660): a node is in the window iff reachable from beg via out
+ * edges whose endpoints stay inside the interval. Exact port of the
+ * forward sweep the Python subgraph_index_map performed row by row. */
+int subgraph_reach(int32_t n, int32_t beg_index, int32_t end_index,
+                   const int32_t *out_flat, const int32_t *out_off,
+                   const int32_t *i2n, const int32_t *n2i,
+                   uint8_t *mask_out)
+{
+    memset(mask_out, 0, (size_t)n);
+    mask_out[beg_index] = 1;
+    mask_out[end_index] = 1;
+    for (int32_t i = beg_index; i < end_index - 1; i++) {
+        if (!mask_out[i]) continue;
+        int32_t nid = i2n[i];
+        for (int32_t e = out_off[nid]; e < out_off[nid + 1]; e++)
+            mask_out[n2i[out_flat[e]]] = 1;
+    }
+    return 0;
+}

@@ -133,7 +133,7 @@ def make_band_kernel(cfg: BandConfig):
     def kernel(scal, ctrl, preP, mplr0, qpf,
                bsn_o, mplr_o, misc_o, steps_o,
                Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
-               acc, rms, stv):
+               acc, rms, stv, bts):
         l = iota()
 
         def sc(g, k):
@@ -744,142 +744,171 @@ def make_band_kernel(cfg: BandConfig):
         # paths the band cannot represent) sets M_FAIL and the host
         # re-runs that instance on the oracle.
         if cfg.bt_lmax:
+            # all G walks share ONE while loop: per-g state lives in the
+            # bts scratch, finished walks are pl.when-skipped, and the
+            # loop runs until every instance is done — amortizing the
+            # per-iteration loop overhead G ways vs G serial loops
+            (BS_I, BS_J, BS_LANE, BS_CUR, BS_IF, BS_NST, BS_FAIL,
+             BS_DONE) = range(8)
             for g in range(G):
-                def bt_body(state, g=g):
-                    (i, j, lane, cur_op, if_, nst, fail, done) = state
-                    w = bsn_o[0, g, i]
-                    lo_i = (w & H16) * pn
-                    rowv = BTb[g, pl.ds(i, 1), :]
-                    b = jnp.sum(jnp.where(iq == lane, rowv, 0))
-                    inw = (j >= lo_i) & (j < lo_i + WB)
-                    b = jnp.where(inw, b, INVALID_BITS)
-                    curM = cur_op & BT_M > 0
-                    mp = b & 15
-                    m_possible = mp < 15
-                    if gm == LINEAR_GAP:
-                        pe = (b >> 4) & 15
-                        e_possible = pe < 15
-                        e_pick_p = pe
-                        e_op_sel = jnp.int32(BT_ALL)
-                        f_possible = ((b >> 24) & 1) > 0
-                        f_op_sel = jnp.int32(BT_ALL)
-                    else:
-                        pe1 = jnp.where(curM, (b >> 4) & 15,
-                                        (b >> 8) & 15)
-                        e1open = jnp.where(curM, (b >> 12) & 1,
-                                           (b >> 13) & 1)
-                        e1hit = (cur_op & BT_E1 > 0) & (pe1 < 15)
-                        if gm == CONVEX_GAP:
-                            pe2 = jnp.where(curM, (b >> 14) & 15,
-                                            (b >> 18) & 15)
-                            e2open = jnp.where(curM, (b >> 22) & 1,
-                                               (b >> 23) & 1)
-                            e2hit = (cur_op & BT_E2 > 0) & (pe2 < 15)
-                        else:
-                            pe2 = jnp.int32(15)
-                            e2open = jnp.int32(0)
-                            e2hit = jnp.bool_(False)
-                        # original candidate order interleaves
-                        # (p0.e1, p0.e2, p1.e1, ...): first hit wins
-                        k1 = jnp.where(e1hit, 2 * pe1, 99)
-                        k2 = jnp.where(e2hit, 2 * pe2 + 1, 99)
-                        use_e1 = k1 <= k2
-                        e_possible = jnp.minimum(k1, k2) < 99
-                        e_pick_p = jnp.where(use_e1, pe1, pe2)
-                        e_op_sel = jnp.where(
-                            use_e1,
-                            jnp.where(e1open > 0, jnp.int32(BT_M | BT_F),
-                                      jnp.int32(BT_E1)),
-                            jnp.where(e2open > 0, jnp.int32(BT_M | BT_F),
-                                      jnp.int32(BT_E2)))
-                        f1o = ((b >> 24) & 1) > 0
-                        f1x = ((b >> 25) & 1) > 0
-                        f1g = ((b >> 26) & 1) > 0
-                        hit_f1 = (cur_op & BT_F1 > 0) \
-                            & jnp.where(curM, f1g, True) & (f1o | f1x)
-                        op_f1 = jnp.where(f1o, jnp.int32(BT_M | BT_E),
-                                          jnp.int32(BT_F1))
-                        if gm == CONVEX_GAP:
-                            f2o = ((b >> 27) & 1) > 0
-                            f2x = ((b >> 28) & 1) > 0
-                            f2g = ((b >> 29) & 1) > 0
-                            hit_f2 = (cur_op & BT_F2 > 0) \
-                                & jnp.where(curM, f2g, True) & (f2o | f2x)
-                            op_f2 = jnp.where(f2o,
-                                              jnp.int32(BT_M | BT_E),
-                                              jnp.int32(BT_F2))
-                        else:
-                            hit_f2 = jnp.bool_(False)
-                            op_f2 = jnp.int32(BT_ALL)
-                        f_possible = hit_f1 | hit_f2
-                        f_op_sel = jnp.where(hit_f1, op_f1, op_f2)
-                    use_m1 = curM & jnp.logical_not(if_) & m_possible
-                    if gm == LINEAR_GAP:
-                        use_e = jnp.logical_not(use_m1) & e_possible
-                    else:
-                        use_e = jnp.logical_not(use_m1) \
-                            & (cur_op & BT_E > 0) & e_possible
-                    use_f = (jnp.logical_not(use_m1)
-                             & jnp.logical_not(use_e) & f_possible)
-                    if gm != LINEAR_GAP:
-                        use_f = use_f & (cur_op & BT_F > 0)
-                    if gm == LINEAR_GAP:
-                        use_m2 = (jnp.logical_not(use_m1)
-                                  & jnp.logical_not(use_e)
-                                  & jnp.logical_not(use_f) & if_
-                                  & m_possible)
-                    else:
-                        use_m2 = (jnp.logical_not(use_m1)
-                                  & jnp.logical_not(use_e)
-                                  & jnp.logical_not(use_f)
-                                  & (cur_op & BT_M > 0) & if_ & m_possible)
-                    any_hit = use_m1 | use_e | use_f | use_m2
-                    fail = fail | jnp.logical_not(any_hit)
-                    use_m = use_m1 | use_m2
-                    # pre_at with a traced p: clamp first (pick 15 means
-                    # the value is unused but the SMEM read must stay in
-                    # bounds)
-                    m_pred = pre_at(g, i, jnp.minimum(mp, cfg.P - 1))
-                    e_pred_sel = pre_at(g, i,
-                                        jnp.minimum(e_pick_p, cfg.P - 1))
-                    op_code = jnp.where(use_m, 0,
-                                        jnp.where(use_e, 2, 1))
-
-                    @pl.when(any_hit)
-                    def _():
-                        steps_o[0, g, nst] = op_code | (i << 2) | (j << 14)
-                    nst = jnp.where(any_hit, nst + 1, nst)
-                    new_i = jnp.where(use_m, m_pred,
-                                      jnp.where(use_e, e_pred_sel, i))
-                    dj = use_m | use_f
-                    new_j = jnp.where(dj, j - 1, j)
-                    nl = jnp.where(dj, lane - 1, lane)
-                    new_lane = jnp.where(nl < 0, nl + WB, nl)
-                    new_cur = jnp.where(
-                        use_m, jnp.int32(BT_ALL),
-                        jnp.where(use_e, e_op_sel,
-                                  jnp.where(use_f, f_op_sel, cur_op)))
-                    new_if = jnp.where(use_m, jnp.bool_(False), if_)
-                    done = fail | (new_i <= 0) | (new_j <= 0)
-                    return (new_i, new_j, new_lane, new_cur, new_if, nst,
-                            fail, done)
-
-                def bt_cond(state):
-                    (i, j, lane, cur_op, if_, nst, fail, done) = state
-                    return jnp.logical_not(done) & (nst < cfg.bt_lmax)
-
-                # overflowed instances skip the backtrack (host re-runs
-                # them on the fallback engine anyway)
                 lane0 = bjs[g] - (bjs[g] // WB) * WB
-                bt_init = (bis[g], bjs[g], lane0, jnp.int32(BT_ALL),
-                           jnp.bool_(True), jnp.int32(0), jnp.bool_(False),
-                           (bis[g] <= 0) | (bjs[g] <= 0) | ovfls[g])
-                (ei, ej, _, _, _, nst, btfail, _) = jax.lax.while_loop(
-                    bt_cond, bt_body, bt_init)
-                misc_o[0, g, M_NSTEPS] = nst
-                misc_o[0, g, M_FAIL] = btfail.astype(jnp.int32)
-                misc_o[0, g, M_ENDI] = ei
-                misc_o[0, g, M_ENDJ] = ej
+                done0 = (bis[g] <= 0) | (bjs[g] <= 0) | ovfls[g]
+                bts[g, BS_I] = bis[g]
+                bts[g, BS_J] = bjs[g]
+                bts[g, BS_LANE] = lane0
+                bts[g, BS_CUR] = BT_ALL
+                bts[g, BS_IF] = 1
+                bts[g, BS_NST] = 0
+                bts[g, BS_FAIL] = 0
+                bts[g, BS_DONE] = done0.astype(jnp.int32)
+
+            def bt_step(g):
+                i = bts[g, BS_I]
+                j = bts[g, BS_J]
+                lane = bts[g, BS_LANE]
+                cur_op = bts[g, BS_CUR]
+                if_ = bts[g, BS_IF] > 0
+                nst = bts[g, BS_NST]
+                w = bsn_o[0, g, i]
+                lo_i = (w & H16) * pn
+                rowv = BTb[g, pl.ds(i, 1), :]
+                b = jnp.sum(jnp.where(iq == lane, rowv, 0))
+                inw = (j >= lo_i) & (j < lo_i + WB)
+                b = jnp.where(inw, b, INVALID_BITS)
+                curM = cur_op & BT_M > 0
+                mp = b & 15
+                m_possible = mp < 15
+                if gm == LINEAR_GAP:
+                    pe = (b >> 4) & 15
+                    e_possible = pe < 15
+                    e_pick_p = pe
+                    e_op_sel = jnp.int32(BT_ALL)
+                    f_possible = ((b >> 24) & 1) > 0
+                    f_op_sel = jnp.int32(BT_ALL)
+                else:
+                    pe1 = jnp.where(curM, (b >> 4) & 15,
+                                    (b >> 8) & 15)
+                    e1open = jnp.where(curM, (b >> 12) & 1,
+                                       (b >> 13) & 1)
+                    e1hit = (cur_op & BT_E1 > 0) & (pe1 < 15)
+                    if gm == CONVEX_GAP:
+                        pe2 = jnp.where(curM, (b >> 14) & 15,
+                                        (b >> 18) & 15)
+                        e2open = jnp.where(curM, (b >> 22) & 1,
+                                           (b >> 23) & 1)
+                        e2hit = (cur_op & BT_E2 > 0) & (pe2 < 15)
+                    else:
+                        pe2 = jnp.int32(15)
+                        e2open = jnp.int32(0)
+                        e2hit = jnp.bool_(False)
+                    # original candidate order interleaves
+                    # (p0.e1, p0.e2, p1.e1, ...): first hit wins
+                    k1 = jnp.where(e1hit, 2 * pe1, 99)
+                    k2 = jnp.where(e2hit, 2 * pe2 + 1, 99)
+                    use_e1 = k1 <= k2
+                    e_possible = jnp.minimum(k1, k2) < 99
+                    e_pick_p = jnp.where(use_e1, pe1, pe2)
+                    e_op_sel = jnp.where(
+                        use_e1,
+                        jnp.where(e1open > 0, jnp.int32(BT_M | BT_F),
+                                  jnp.int32(BT_E1)),
+                        jnp.where(e2open > 0, jnp.int32(BT_M | BT_F),
+                                  jnp.int32(BT_E2)))
+                    f1o = ((b >> 24) & 1) > 0
+                    f1x = ((b >> 25) & 1) > 0
+                    f1g = ((b >> 26) & 1) > 0
+                    hit_f1 = (cur_op & BT_F1 > 0) \
+                        & jnp.where(curM, f1g, True) & (f1o | f1x)
+                    op_f1 = jnp.where(f1o, jnp.int32(BT_M | BT_E),
+                                      jnp.int32(BT_F1))
+                    if gm == CONVEX_GAP:
+                        f2o = ((b >> 27) & 1) > 0
+                        f2x = ((b >> 28) & 1) > 0
+                        f2g = ((b >> 29) & 1) > 0
+                        hit_f2 = (cur_op & BT_F2 > 0) \
+                            & jnp.where(curM, f2g, True) & (f2o | f2x)
+                        op_f2 = jnp.where(f2o,
+                                          jnp.int32(BT_M | BT_E),
+                                          jnp.int32(BT_F2))
+                    else:
+                        hit_f2 = jnp.bool_(False)
+                        op_f2 = jnp.int32(BT_ALL)
+                    f_possible = hit_f1 | hit_f2
+                    f_op_sel = jnp.where(hit_f1, op_f1, op_f2)
+                use_m1 = curM & jnp.logical_not(if_) & m_possible
+                if gm == LINEAR_GAP:
+                    use_e = jnp.logical_not(use_m1) & e_possible
+                else:
+                    use_e = jnp.logical_not(use_m1) \
+                        & (cur_op & BT_E > 0) & e_possible
+                use_f = (jnp.logical_not(use_m1)
+                         & jnp.logical_not(use_e) & f_possible)
+                if gm != LINEAR_GAP:
+                    use_f = use_f & (cur_op & BT_F > 0)
+                if gm == LINEAR_GAP:
+                    use_m2 = (jnp.logical_not(use_m1)
+                              & jnp.logical_not(use_e)
+                              & jnp.logical_not(use_f) & if_
+                              & m_possible)
+                else:
+                    use_m2 = (jnp.logical_not(use_m1)
+                              & jnp.logical_not(use_e)
+                              & jnp.logical_not(use_f)
+                              & curM & if_ & m_possible)
+                any_hit = use_m1 | use_e | use_f | use_m2
+                fail = (bts[g, BS_FAIL] > 0) | jnp.logical_not(any_hit)
+                use_m = use_m1 | use_m2
+                # pre_at with a traced p: clamp first (pick 15 means the
+                # value is unused but the SMEM read must stay in bounds)
+                m_pred = pre_at(g, i, jnp.minimum(mp, cfg.P - 1))
+                e_pred_sel = pre_at(g, i,
+                                    jnp.minimum(e_pick_p, cfg.P - 1))
+                op_code = jnp.where(use_m, 0,
+                                    jnp.where(use_e, 2, 1))
+
+                @pl.when(any_hit)
+                def _():
+                    steps_o[0, g, nst] = op_code | (i << 2) | (j << 14)
+                nst = jnp.where(any_hit, nst + 1, nst)
+                new_i = jnp.where(use_m, m_pred,
+                                  jnp.where(use_e, e_pred_sel, i))
+                dj = use_m | use_f
+                new_j = jnp.where(dj, j - 1, j)
+                nl = jnp.where(dj, lane - 1, lane)
+                new_lane = jnp.where(nl < 0, nl + WB, nl)
+                new_cur = jnp.where(
+                    use_m, jnp.int32(BT_ALL),
+                    jnp.where(use_e, e_op_sel,
+                              jnp.where(use_f, f_op_sel, cur_op)))
+                done = (fail | (new_i <= 0) | (new_j <= 0)
+                        | (nst >= cfg.bt_lmax))
+                bts[g, BS_I] = new_i
+                bts[g, BS_J] = new_j
+                bts[g, BS_LANE] = new_lane
+                bts[g, BS_CUR] = new_cur
+                bts[g, BS_IF] = jnp.where(use_m, 0,
+                                          bts[g, BS_IF])
+                bts[g, BS_NST] = nst
+                bts[g, BS_FAIL] = fail.astype(jnp.int32)
+                bts[g, BS_DONE] = done.astype(jnp.int32)
+
+            def wb_body(alive):
+                for g in range(G):
+                    @pl.when(bts[g, BS_DONE] == 0)
+                    def _(g=g):
+                        bt_step(g)
+                na = jnp.int32(0)
+                for g in range(G):
+                    na += 1 - bts[g, BS_DONE]
+                return na
+
+            jax.lax.while_loop(lambda alive: alive > 0, wb_body,
+                               jnp.int32(G))
+            for g in range(G):
+                misc_o[0, g, M_NSTEPS] = bts[g, BS_NST]
+                misc_o[0, g, M_FAIL] = bts[g, BS_FAIL]
+                misc_o[0, g, M_ENDI] = bts[g, BS_I]
+                misc_o[0, g, M_ENDJ] = bts[g, BS_J]
         else:
             for g in range(G):
                 misc_o[0, g, M_NSTEPS] = 0
@@ -989,6 +1018,7 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
             pltpu.VMEM((9, G, WB), i32),  # bt pick accumulators
             pltpu.SMEM((G, R), i32),     # rms: per-row max-pos (pulled)
             pltpu.SMEM((G, 8), i32),     # per-instance sweep state
+            pltpu.SMEM((G, 8), i32),     # per-instance walker state
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),

@@ -282,62 +282,93 @@ class BatchPOA:
             ((max((len(q) for reads in instances for q in reads),
                   default=0) // 128) + 1) * 128, 128)
         self._seed_floors = {}
-        while reqs:
-            batch = []      # (k, beg_id, end_id, window, dg)
-            host_only = []  # (k, req) handled by the oracle this round
-            for k in sorted(reqs):
-                beg_id, end_id, window = reqs[k]
-                g = abs_[k].graph
-                if g.node_n <= 2:
-                    host_only.append(k)
-                    continue
-                if not g.is_topological_sorted:
-                    g.topological_sort(params)
-                if not use_device or len(window) == 0:
-                    host_only.append(k)
-                    continue
-                bi = int(g.node_id_to_index[beg_id])
-                ei = int(g.node_id_to_index[end_id])
-                dg = export_dense(g, params, window, beg_index=bi,
-                                  end_index=ei)
-                # packed backtrack step is op|row<<2|col<<14 (12 row bits,
-                # 17 col bits) — oversized windows go to the oracle, same
-                # guard as _pallas_dispatch
-                if dg.R > 4096 or (dg.qlen // 128 + 1) * 128 >= (1 << 17):
-                    host_only.append(k)
-                    continue
-                batch.append((k, beg_id, end_id, window, dg))
-            results = {}
-            for k in host_only:
-                beg_id, end_id, window = reqs[k]
-                g = abs_[k].graph
-                if g.node_n <= 2:
-                    results[k] = None
-                else:
-                    results[k] = align_sequence_to_subgraph(
-                        g, params, beg_id, end_id, window,
-                        arena=abs_[k].arena)
-            if batch:
-                results.update(self._seeded_device_round(batch, abs_))
-            for k in sorted(reqs):
-                try:
-                    reqs[k] = gens[k].send(results[k])
-                except StopIteration:
-                    del reqs[k]
-            self.rounds += 1
+        # two interleaved shard groups: while one group's device round is
+        # in flight (upload+kernel+fetch on a worker thread), the other
+        # group's host work (oracle windows, replay, window fusion, next
+        # chaining step) runs on the main thread + host pool
+        S = 2 if (use_device and len(instances) >= 8) else 1
+        shard_reqs = [{k: v for k, v in reqs.items() if k % S == s}
+                      for s in range(S)]
+        pending = [None] * S
+
+        def prep_one(rq, k):
+            beg_id, end_id, window = rq[k]
+            g = abs_[k].graph
+            if g.node_n <= 2:
+                return k, None
+            if not g.is_topological_sorted:
+                g.topological_sort(params)
+            if not use_device or len(window) == 0:
+                return k, None
+            bi = int(g.node_id_to_index[beg_id])
+            ei = int(g.node_id_to_index[end_id])
+            dg = export_dense(g, params, window, beg_index=bi,
+                              end_index=ei)
+            # packed backtrack step is op|row<<2|col<<14 (12 row bits,
+            # 17 col bits) — oversized windows go to the oracle, same
+            # guard as _pallas_dispatch
+            if dg.R > 4096 or (dg.qlen // 128 + 1) * 128 >= (1 << 17):
+                return k, None
+            return k, (k, beg_id, end_id, window, dg)
+
+        def oracle_one(rq, k):
+            beg_id, end_id, window = rq[k]
+            g = abs_[k].graph
+            if g.node_n <= 2:
+                return k, None
+            return k, align_sequence_to_subgraph(
+                g, params, beg_id, end_id, window, arena=abs_[k].arena)
+
+        while any(shard_reqs) or any(p is not None for p in pending):
+            for s in range(S):
+                if pending[s] is None and shard_reqs[s]:
+                    rq = shard_reqs[s]
+                    batch = []
+                    host_only = []
+                    for k, item in _host_pool().map(
+                            lambda k: prep_one(rq, k), sorted(rq)):
+                        if item is None:
+                            host_only.append(k)
+                        else:
+                            batch.append(item)
+                    pends = self._seeded_dispatch(batch) if batch else []
+                    pending[s] = (rq, pends, host_only)
+                    self.rounds += 1
+            for s in range(S):
+                if pending[s] is not None:
+                    rq, pends, host_only = pending[s]
+                    results = dict(_host_pool().map(
+                        lambda k: oracle_one(rq, k), host_only))
+                    for pend in pends:
+                        results.update(self._seeded_apply(pend, abs_))
+
+                    def advance(k):
+                        try:
+                            return k, gens[k].send(results[k]), True
+                        except StopIteration:
+                            return k, None, False
+                    new_rq = {}
+                    for k, v, ok in _host_pool().map(advance, sorted(rq)):
+                        if ok:
+                            new_rq[k] = v
+                    shard_reqs[s] = new_rq
+                    pending[s] = None
+                    break
         return abs_
 
-    def _seeded_device_round(self, batch, abs_):
-        """One window-level device round over mixed subgraph exports."""
+    def _seeded_dispatch(self, batch):
+        """Enqueue one shard-round of window-level device work; the
+        worker thread owns upload, kernel and result fetch so the tunnel
+        RTT overlaps the other shard's host work."""
         import time
+        import jax
         import jax.numpy as jnp
-        from ..align.engine_jax import make_pallas_inputs, repad_dense
-        from ..align.engine_np import AlignResult, align_sequence_to_subgraph
-        from ..ops import dp_pallas as dpp
-        from ..ops import bt_xla
+        from ..align.engine_jax import (make_pallas_inputs, repad_dense,
+                                        pick_WB)
         from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
+        from ..ops.dp_pallas_band import (BandConfig, band_poa_dp_batch,
+                                          pick_band_G)
         params = self.params
-        results = {}
         # group by pn, pad to the round maxima; chunk at 128 instances so
         # the padded-batch shape set is bounded regardless of total size
         by_pn = {}
@@ -346,6 +377,7 @@ class BatchPOA:
         by_pn = {(pn, i): items[i:i + 128]
                  for pn, items in by_pn.items()
                  for i in range(0, len(items), 128)}
+        pends = []
         for (pn, _chunk), items in by_pn.items():
             # ratcheting shape floors per pn: the padded dims only grow,
             # bounding the number of distinct compiled kernels. R starts
@@ -363,9 +395,7 @@ class BatchPOA:
             dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
             LMAX = (R + Wq + 63) // 64 * 64
             # v4 banded kernel when the band tile applies; else full-width
-            from ..align.engine_jax import pick_WB
             WB = pick_WB(params, self._seed_wq_cap, pn)
-            from ..ops.dp_pallas_band import pick_band_G
             G = pick_band_G(params.gap_mode, R, WB, P_, params.m, LMAX)
             use_band = (G > 0 and params.wb >= 0 and Wq < 32000
                         and R <= 4096 and P_ < 32)
@@ -388,8 +418,6 @@ class BatchPOA:
                 BP *= 4
             pad = BP - nb
             if use_band:
-                from ..ops.dp_pallas_band import (BandConfig,
-                                                  band_poa_dp_batch)
                 kc = BandConfig(gap_mode=cfg.gap_mode,
                                 align_mode=cfg.align_mode, pn=cfg.pn,
                                 R=R, WB=WB, Wq=WqB, P=cfg.P, O=cfg.O,
@@ -404,60 +432,75 @@ class BatchPOA:
                               banded=params.wb >= 0)
                 kern = fw_poa_dp_batch
             dummy_out = {4, 5} if use_band else set()
-            stacked = tuple(
-                jnp.asarray(np.zeros((nb + pad, 1), np.int8))
-                if i in dummy_out
-                else jnp.asarray(np.stack(
-                    [a[i] for a in arrs] + [arrs[0][i]] * pad))
-                for i in range(len(arrs[0])))
+            stacked_np = [np.zeros((nb + pad, 1), np.int8)
+                          if i in dummy_out
+                          else np.stack([a[i] for a in arrs]
+                                        + [arrs[0][i]] * pad)
+                          for i in range(len(arrs[0]))]
             step_cap = min(LMAX, (max(d[4].n_rows for d in items)
                                   + max(d[4].qlen for d in items)
                                   + 71) // 64 * 64)
+            mxn = max(d[4].n_rows for d in items)
             t0 = time.perf_counter()
-            out = kern(kc, *stacked)
-            # slice on device, then fetch: the padded tail never crosses
-            # the (slow) host link; band rounds fetch the int16 delta
-            # stream (half the downlink bytes)
-            misc = np.asarray(out.misc[:nb])
-            steps = np.asarray((out.steps16 if use_band
-                                else out.steps)[:nb, :step_cap])
-            t1 = time.perf_counter()
-            self.dp_seconds += t1 - t0
-            self.dp_intervals.append((t0, t1))
-            self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
-            mpl = np.asarray(out.mpl[:nb])
-            mpr = np.asarray(out.mpr[:nb])
-            for b, (k, beg_id, end_id, window, dg0) in enumerate(items):
-                ab = abs_[k]
-                g = ab.graph
-                if misc[b, dpp.M_FAIL] or misc[b, dpp.M_OVFL]:
-                    # oracle re-runs from the pre-call band state (no
-                    # writeback happened for this instance)
-                    self.fallbacks += 1
-                    results[k] = align_sequence_to_subgraph(
-                        g, params, beg_id, end_id, window, arena=ab.arena)
-                    continue
-                n = dg0.n_rows
-                bi = dg0.beg_index
-                ids = np.asarray(g.index_to_node_id[bi:bi + n],
-                                 dtype=np.int64)
-                g.node_id_to_max_pos_left[ids] = mpl[b, :n]
-                g.node_id_to_max_pos_right[ids] = mpr[b, :n]
-                res = AlignResult()
-                res.best_score = int(misc[b, dpp.M_BEST])
-                nst = int(misc[b, dpp.M_NSTEPS])
-                stp = (bt_xla.unpack_steps16(steps[b], nst,
-                                             int(misc[b, dpp.M_BI]),
-                                             int(misc[b, dpp.M_BJ]))
-                       if use_band else steps[b])
-                bt_xla.replay_steps(g, params, np.asarray(window),
-                                    stp, nst,
-                                    int(misc[b, dpp.M_BI]),
-                                    int(misc[b, dpp.M_BJ]),
-                                    int(misc[b, dpp.M_ENDI]),
-                                    int(misc[b, dpp.M_ENDJ]), res,
-                                    row0=bi)
-                results[k] = res
+
+            def submit(kern=kern, kc=kc, stacked_np=stacked_np, nb=nb,
+                       step_cap=step_cap, mxn=mxn, use_band=use_band):
+                stacked = tuple(jnp.asarray(a) for a in stacked_np)
+                out = kern(kc, *stacked)
+                st = out.steps16 if use_band else out.steps
+                return jax.device_get(
+                    (out.misc[:nb], st[:nb, :step_cap],
+                     out.mpl[:nb, :mxn], out.mpr[:nb, :mxn]))
+            fut = self._pool().submit(submit)
+            pends.append(dict(future=fut, items=items, nb=nb, t0=t0,
+                              band=use_band))
+        return pends
+
+    def _seeded_apply(self, pend, abs_):
+        """Fetch one seeded chunk's results and replay/fuse them."""
+        import time
+        from ..align.engine_np import AlignResult, align_sequence_to_subgraph
+        from ..ops import dp_pallas as dpp
+        from ..ops import bt_xla
+        params = self.params
+        results = {}
+        misc, steps, mpl, mpr = pend["future"].result()
+        items = pend["items"]
+        t1 = time.perf_counter()
+        self.dp_seconds += t1 - pend["t0"]
+        self.dp_intervals.append((pend["t0"], t1))
+        self.dp_cells += int(misc[:, dpp.M_CELLS].sum())
+        for b, (k, beg_id, end_id, window, dg0) in enumerate(items):
+            ab = abs_[k]
+            g = ab.graph
+            if misc[b, dpp.M_FAIL] or misc[b, dpp.M_OVFL]:
+                # oracle re-runs from the pre-call band state (no
+                # writeback happened for this instance)
+                self.fallbacks += 1
+                results[k] = align_sequence_to_subgraph(
+                    g, params, beg_id, end_id, window, arena=ab.arena)
+                continue
+            n = dg0.n_rows
+            bi = dg0.beg_index
+            ids = np.asarray(g.index_to_node_id[bi:bi + n],
+                             dtype=np.int64)
+            g.node_id_to_max_pos_left[ids] = mpl[b, :n]
+            g.node_id_to_max_pos_right[ids] = mpr[b, :n]
+            res = AlignResult()
+            res.best_score = int(misc[b, dpp.M_BEST])
+            nst = int(misc[b, dpp.M_NSTEPS])
+            stp = (bt_xla.unpack_steps16(steps[b], nst,
+                                         int(misc[b, dpp.M_BI]),
+                                         int(misc[b, dpp.M_BJ]))
+                   if pend["band"] else steps[b])
+            bt_xla.replay_steps(g, params, np.asarray(window),
+                                stp, nst,
+                                int(misc[b, dpp.M_BI]),
+                                int(misc[b, dpp.M_BJ]),
+                                int(misc[b, dpp.M_ENDI]),
+                                int(misc[b, dpp.M_ENDJ]), res,
+                                row0=bi)
+            results[k] = res
         return results
 
     def _effective_engine(self) -> str:
