@@ -957,7 +957,15 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
     ctrl = (bases.astype(i32) | (pre_n.astype(i32) << 5)
             | (rowmask.astype(i32) << 10)
             | (remain.astype(i32) << 16))
-    pre2 = pre_idx.astype(i32).reshape(B, R * cfg.P // 2, 2)
+    if pre_idx.dtype == jnp.uint8:
+        # uint8 DELTA encoding (pred = t - delta, invalid lanes 0): the
+        # dispatcher ships deltas when they all fit a byte — predecessor
+        # distance is 1 for chain rows and small for bundles (p99 = 4)
+        pi = pre_idx.reshape(B, R, cfg.P).astype(i32)
+        tix = jax.lax.broadcasted_iota(i32, (B, R, cfg.P), 1)
+        pre2 = jnp.maximum(tix - pi, 0).reshape(B, R * cfg.P // 2, 2)
+    else:
+        pre2 = pre_idx.astype(i32).reshape(B, R * cfg.P // 2, 2)
     preP = pre2[:, :, 0] | (pre2[:, :, 1] << 16)
     # out_idx/out_n are unused: band state is pulled from predecessors
     if cfg.fresh:

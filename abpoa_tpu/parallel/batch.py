@@ -77,6 +77,21 @@ def _host_pool():
     return _HOST_POOL
 
 
+
+def _pre_deltas(stacked_np, R, P):
+    """Convert the stacked pre_idx stream (slot 2, int16 absolute) to
+    uint8 deltas when every valid predecessor is within 255 rows — the
+    band kernel reconstructs pred = t - delta on device. ~25% of the
+    per-round upload over the ~60 MB/s tunnel uplink."""
+    B_ = stacked_np[2].shape[0]
+    pi = stacked_np[2].reshape(B_, R, P).astype(np.int64)
+    valid = np.arange(P)[None, None, :] < stacked_np[3][:, :, None]
+    delta = np.where(valid, np.arange(R)[None, :, None] - pi, 0)
+    if 0 <= delta.min() and delta.max() <= 255:
+        stacked_np[2] = delta.reshape(B_, R * P).astype(np.uint8)
+    return stacked_np
+
+
 class BatchPOA:
     """Run many independent POA problems through the batched device DP.
 
@@ -444,8 +459,11 @@ class BatchPOA:
             t0 = time.perf_counter()
 
             def submit(kern=kern, kc=kc, stacked_np=stacked_np, nb=nb,
-                       step_cap=step_cap, mxn=mxn, use_band=use_band):
-                stacked = tuple(jnp.asarray(a) for a in stacked_np)
+                       step_cap=step_cap, mxn=mxn, use_band=use_band,
+                       R=R, P_=P_):
+                sn = (_pre_deltas(list(stacked_np), R, P_) if use_band
+                      else stacked_np)
+                stacked = tuple(jnp.asarray(a) for a in sn)
                 out = kern(kc, *stacked)
                 st = out.steps16 if use_band else out.steps
                 return jax.device_get(
@@ -641,7 +659,9 @@ class BatchPOA:
                               + max(d.qlen for d in dgs) + 71) // 64 * 64)
 
         def submit():
-            stacked = tuple(jnp.asarray(a) for a in stacked_np)
+            sn = (_pre_deltas(list(stacked_np), R, cfg.P) if use_band
+                  else stacked_np)
+            stacked = tuple(jnp.asarray(a) for a in sn)
             out = kern_fn(*stacked)
             st = out.steps16 if use_band else out.steps
             return jax.device_get((out.misc[:nb], st[:nb, :step_cap]))
