@@ -384,14 +384,16 @@ class BatchPOA:
         from ..ops.dp_pallas_band import (BandConfig, band_poa_dp_batch,
                                           pick_band_G)
         params = self.params
-        # group by pn, pad to the round maxima; chunk at 128 instances so
+        # group by pn, pad to the round maxima; chunk at 256 instances so
         # the padded-batch shape set is bounded regardless of total size
+        # while each chunk amortizes one tunnel round trip
+        CH = 256
         by_pn = {}
         for item in batch:
             by_pn.setdefault(item[4].pn, []).append(item)
-        by_pn = {(pn, i): items[i:i + 128]
+        by_pn = {(pn, i): items[i:i + CH]
                  for pn, items in by_pn.items()
-                 for i in range(0, len(items), 128)}
+                 for i in range(0, len(items), CH)}
         pends = []
         for (pn, _chunk), items in by_pn.items():
             # ratcheting shape floors per pn: the padded dims only grow,

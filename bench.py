@@ -100,9 +100,9 @@ def _bench_seeded(reads, n: int):
     warm = BatchPOA(Params().post_set())
     warm.params.disable_seeding = 0
     warm.params.post_set()
-    # device rounds chunk at 128 instances, so a 128-instance warmup
-    # compiles every padded-batch bucket the timed run will see
-    warm.run_seeded(_seeded_instances(reads, min(n, 128)))
+    # device rounds chunk at 256 per shard group, so a 512-instance
+    # warmup compiles every padded-batch bucket the timed run will see
+    warm.run_seeded(_seeded_instances(reads, min(n, 512)))
     bp = BatchPOA(params)
     t0 = time.perf_counter()
     abs_ = bp.run_seeded(instances)

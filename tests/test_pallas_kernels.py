@@ -200,3 +200,58 @@ def test_fw_kernel_modes_vs_oracle(mode, wb):
         assert dres.cigar == res.cigar
         g.add_graph_alignment(params, q, [1] * len(q), res.cigar, None,
                               rid, True)
+
+
+def test_pre_delta_encoding():
+    """uint8 delta pre_idx (parallel/batch._pre_deltas): the band kernel
+    must reconstruct identical predecessors, and deltas that overflow a
+    byte must keep the absolute int16 stream."""
+    import jax.numpy as jnp
+    from abpoa_tpu.parallel.batch import _pre_deltas
+    from abpoa_tpu.align.engine_jax import (export_dense,
+                                            make_pallas_inputs, pick_WB)
+    from abpoa_tpu.ops.dp_pallas_band import (BandConfig,
+                                              band_poa_dp_batch)
+    from abpoa_tpu.ops import dp_pallas as dpp
+    params = Params().post_set()
+    reads = _reads("seq.fa", 3)
+    g = POAGraph()
+    g.add_graph_alignment(params, reads[0], [1] * len(reads[0]), [],
+                          None, 0, True)
+    g.topological_sort(params)
+    from abpoa_tpu.align.engine_np import align_sequence_to_subgraph
+    res = align_sequence_to_subgraph(g, params, SRC_NODE_ID, SINK_NODE_ID,
+                                     reads[1])
+    g.add_graph_alignment(params, reads[1], [1] * len(reads[1]),
+                          res.cigar, None, 1, True)
+    g.topological_sort(params)
+    dg = export_dense(g, params, reads[2])
+    WB = pick_WB(params, dg.qlen, dg.pn)
+    Wq = (dg.qlen // 128 + 1) * 128
+    WqB = (Wq + WB - 1) // WB * WB
+    LMAX = (dg.R + Wq + 63) // 64 * 64
+    cfg, arrs = make_pallas_inputs(dg, params, WB, force_Wq=WqB,
+                                   bt_lmax=LMAX)
+    bc = BandConfig(cfg.gap_mode, cfg.align_mode, cfg.pn, dg.R, WB, WqB,
+                    cfg.P, cfg.O, cfg.m, cfg.use_zdrop, LMAX, 1)
+    stacked = [np.stack([a]) for a in arrs]
+    enc = _pre_deltas([a.copy() for a in stacked], dg.R, cfg.P)
+    assert enc[2].dtype == np.uint8   # all deltas fit a byte
+    out_abs = band_poa_dp_batch(
+        bc, *[jnp.asarray(a) for a in stacked], interpret=True)
+    out_del = band_poa_dp_batch(
+        bc, *[jnp.asarray(a) for a in enc], interpret=True)
+    assert (np.asarray(out_abs.misc) == np.asarray(out_del.misc)).all()
+    ns = int(np.asarray(out_abs.misc)[0][dpp.M_NSTEPS])
+    assert (np.asarray(out_abs.steps)[0][:ns]
+            == np.asarray(out_del.steps)[0][:ns]).all()
+    # overflow: a predecessor further than 255 rows keeps the absolute
+    # int16 stream (synthetic: the fixtures are too small to produce one)
+    R2, P2 = 512, 2
+    pre = np.tile(np.arange(R2, dtype=np.int16)[:, None] - 1,
+                  (1, P2)).clip(min=0)
+    pre[400, 0] = 100   # delta 300
+    pn2 = np.ones((1, R2), np.int8)
+    big = [None, None, pre.reshape(1, R2 * P2), pn2]
+    enc2 = _pre_deltas(big, R2, P2)
+    assert enc2[2].dtype == np.int16
