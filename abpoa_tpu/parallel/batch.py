@@ -384,10 +384,9 @@ class BatchPOA:
         from ..ops.dp_pallas_band import (BandConfig, band_poa_dp_batch,
                                           pick_band_G)
         params = self.params
-        # group by pn, pad to the round maxima; chunk at 256 instances so
+        # group by pn, pad to the round maxima; chunk at 128 instances so
         # the padded-batch shape set is bounded regardless of total size
-        # while each chunk amortizes one tunnel round trip
-        CH = 256
+        CH = 128
         by_pn = {}
         for item in batch:
             by_pn.setdefault(item[4].pn, []).append(item)

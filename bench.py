@@ -100,9 +100,9 @@ def _bench_seeded(reads, n: int):
     warm = BatchPOA(Params().post_set())
     warm.params.disable_seeding = 0
     warm.params.post_set()
-    # device rounds chunk at 256 per shard group, so a 512-instance
+    # device rounds chunk at 128 per shard group, so a 256-instance
     # warmup compiles every padded-batch bucket the timed run will see
-    warm.run_seeded(_seeded_instances(reads, min(n, 512)))
+    warm.run_seeded(_seeded_instances(reads, min(n, 256)))
     bp = BatchPOA(params)
     t0 = time.perf_counter()
     abs_ = bp.run_seeded(instances)
