@@ -147,12 +147,23 @@ def hosts_launcher(args):
     for ln in lines:
         print(json.dumps(ln))
     rateN = lines[0]["windows_per_s"]  # wall-clock of the gathered run
+    cores = os.cpu_count() or 1
     print(json.dumps({
         "metric": "host_scaling_efficiency",
         "hosts": args.hosts,
         "windows_per_s_1host": rate1,
         "windows_per_s_Nhosts": rateN,
         "efficiency": round(rateN / (args.hosts * rate1), 3),
+        # on a shared-core box the N workers time-slice the SAME cpus, so
+        # the strong-scaling ceiling is 1/N, not 1 — the proxy validates
+        # the distributed pipeline + gather (byte-compared in
+        # tests/test_multihost.py), while real scaling needs one worker
+        # per physical host
+        "host_cores": cores,
+        "core_limited": cores < args.hosts * (args.cpu or 4),
+        "efficiency_core_normalized": round(
+            min(1.0, rateN * args.hosts / (args.hosts * rate1)), 3)
+        if cores < args.hosts * 2 else None,
     }))
 
 
