@@ -1,4 +1,4 @@
-"""Pallas TPU kernel v4: mod-WB banded POA DP, G instances per program.
+"""Pallas TPU kernel v5: mod-WB banded POA DP, G instances per program.
 
 Successor of dp_pallas_fw.py (same math — a mechanical port of the
 dp_xla row body, which is proven cell-exact against the bit-exact oracle;
@@ -12,17 +12,21 @@ layout that removes the full-width waste:
     at all: lane l of any row holds the same column modulo WB, and the
     band-intersection masks (identical to dp_xla's) already restrict reads
     to columns covered by both windows. The diagonal +1 shift stays a
-    static roll. This deletes the per-predecessor dynamic rolls that made
-    the v1 banded kernel slow, and the (Wq-wide) scans/maxes of the v2
-    full-width kernel shrink to WB lanes.
-  * G=8 instances pack the sublane dimension: (8, WB) int32 tiles fill the
-    8x128 VPU exactly; the per-row op chain is latency-bound, so doubling
-    G doubles throughput at constant chain length.
-  * Per-row control state is PACKED into 16-bit halves of int32 SMEM words
-    (bases|pre_n|out_n|rowmask in one word, predecessor/successor id
-    pairs, beg_sn|end_sn, mpl|mpr) — SMEM is only 1 MB per core and the
-    unpacked G=8 layout did not fit. Requires qlen < 32766 and R <= 4096
-    (the dispatch guards both).
+    static roll.
+  * Band state is PULLED: the reference scatters each row's max position
+    to its out-nodes (adaptive band); since every predecessor completes
+    before row t, the kernel reads min/max(rowmax[pred]+1) instead —
+    no out-edge arrays, no scatter read-modify-writes, no init copy.
+  * Backtrack BITS plane: every condition the walk tests (M/E/F hits,
+    open/ext bits, first-pred picks under both cur_op gates) is baked
+    per cell during the sweep; the walk reads ONE lane per step and the
+    F planes do not exist. Convex keeps 4 planes: H, E1, E2, BT.
+    Results leave as an int16 delta stream (steps16) for the slow link.
+  * G (up to 16) instances pack the sublane dimension; per-row control is
+    packed into int32 SMEM words (base|pre_n|rowmask|remain in one word,
+    predecessor id pairs, beg_sn|end_sn, mpl|mpr) — SMEM is only 1 MB per
+    core. pick_band_G sizes G against the VMEM/SMEM budgets; requires
+    qlen < 32766, R <= 4096, P < 32 (the dispatch guards all three).
   * Out-of-band cells inside the window keep the XLA engine's fill pattern
     (0 residue, inf_min guards), and reads below/above the window return 0,
     so the in-kernel backtrack sees bit-identical cell values to the
@@ -30,9 +34,9 @@ layout that removes the full-width waste:
   * A row whose band + guard + one spare zero segment exceeds WB raises
     M_OVFL; the host re-runs that instance on the XLA fallback engine.
 
-VMEM: 5 planes x G x R x WB x 4B (convex) — 63 MB at G=8, R=1024, WB=384.
+VMEM: 4 planes x G x R x WB x 4B (convex) — 82 MB at G=16, R=832, WB=384.
 Supported: global/extend x linear/affine/convex, banded. Local/unbanded
-fall back to dp_xla as before.
+fall back to dp_pallas_fw / dp_xla as before.
 """
 from __future__ import annotations
 
