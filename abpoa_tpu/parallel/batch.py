@@ -264,14 +264,9 @@ class BatchPOA:
         guide tree and chaining run host-side per instance; the per-window
         subgraph alignments batch across instances each round, driving the
         same anchor_poa_requests generator as the sequential path."""
-        import jax.numpy as jnp
         from ..seed import build_guide_tree_partition
-        from ..align.engine_jax import (export_dense, make_pallas_inputs,
-                                        subgraph_index_map)
-        from ..align.engine_np import (AlignResult,
-                                       align_sequence_to_subgraph)
-        from ..ops import dp_pallas as dpp
-        from ..ops import bt_xla
+        from ..align.engine_jax import export_dense
+        from ..align.engine_np import align_sequence_to_subgraph
         params = self.params
         abs_ = _make_aligners(instances, params)
         gens = []
