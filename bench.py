@@ -144,16 +144,17 @@ def main():
     # warmup: compile every (shape-bucket) program at the bench batch size
     BatchPOA(Params().post_set()).run_consensus(instances)
 
-    # median of 3 reps (the host VM is shared; wall noise is real)
+    # median of 5 reps (the host VM and the device tunnel are shared;
+    # individual reps vary ~3x on bad windows)
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         bp = BatchPOA(Params().post_set())
         t0 = time.perf_counter()
         cons = bp.run_consensus(instances)
         reps.append((time.perf_counter() - t0, bp))
         assert all(c == cons[0] for c in cons)
     reps.sort(key=lambda x: x[0])
-    e2e, bp = reps[1]
+    e2e, bp = reps[2]
 
     # mesh variant: the shard_map dispatch path (parallel/batch.py) on the
     # real chip (1-device mesh here; N-chip meshes use the same program)
