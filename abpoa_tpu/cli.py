@@ -65,6 +65,16 @@ TAKES_ARG = set("mMXtOEbfzekwnioqrgdqV\x01")
 
 
 def main(argv=None) -> int:
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # the env var alone loses to a preset platform plugin (the TPU
+        # tunnel); the config knob wins — honor the user's choice
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     argv = list(sys.argv[1:] if argv is None else argv)
     params = Params()
     in_list = False
@@ -203,10 +213,17 @@ def main(argv=None) -> int:
     ab = ABPOA()
     if in_list:
         with open(pos[0]) as fp:
-            for line in fp:
-                fn = line.strip()
-                if fn:
-                    ab.msa_from_file(params, fn, out=out)
+            fns = [line.strip() for line in fp if line.strip()]
+        # device list mode: batch one POA instance per file across the
+        # chip (the reference runs list entries serially); plain weights
+        # and fresh graphs only — qv weights and -i fall back to serial
+        if (params.engine == "jax" and len(fns) >= 4
+                and not params.use_qv and not params.incr_fn):
+            from .parallel.batch import batch_msa_from_files
+            batch_msa_from_files(params, fns, out)
+        else:
+            for fn in fns:
+                ab.msa_from_file(params, fn, out=out)
     else:
         ab.msa_from_file(params, pos[0], out=out)
     # end-of-run telemetry line (ref src/abpoa.c:146, src/utils.c:339-371)

@@ -810,3 +810,31 @@ class BatchPOA:
             outs.append([bytes(tab[b] for b in seq).decode()
                          for seq in c.cons_base[:c.n_cons]])
         return outs
+
+
+def batch_msa_from_files(params, fns, out):
+    """Batched CLI list mode (-l): one POA instance per input file through
+    BatchPOA, outputs rendered in file order — byte-identical to running
+    abpoa_msa1 serially per file (the reference processes list entries
+    one by one, src/abpoa_align.c:439-503; batching across files is the
+    TPU-native win). Gated by the caller to plain-weight, non-incremental
+    runs."""
+    from ..seqio import read_seqs
+    from ..alphabet import encode_table
+    from ..params import GLOBAL_MODE
+    tab = encode_table(params.m)
+    instances = []
+    names = []
+    for fn in fns:
+        recs = read_seqs(fn)
+        names.append([r.name for r in recs])
+        instances.append([
+            tab[np.frombuffer(r.seq.encode(), dtype=np.uint8)]
+            for r in recs])
+    bp = BatchPOA(params)
+    seeded = (not (params.disable_seeding and not params.progressive_poa)
+              and params.align_mode == GLOBAL_MODE)
+    abs_ = bp.run_seeded(instances) if seeded else bp.run(instances)
+    for ab, nm in zip(abs_, names):
+        ab.names = nm
+        ab.output(params, out)

@@ -84,3 +84,25 @@ def test_batch_amb_strand_matches_sequential():
     assert got == [expected] * 3
     assert all(a.is_rc == ab.is_rc for a in abs_)
     assert any(ab.is_rc), "fixture should trigger rc retries"
+
+
+def test_cli_list_mode_batched_matches_serial(tmp_path):
+    """CLI -l with --engine jax batches one instance per file; output must
+    byte-match the serial per-file path (the reference's list loop,
+    ref abpoa.c -l handling + abpoa_align.c:439-503)."""
+    import io
+    import contextlib
+    from abpoa_tpu import cli
+    from conftest import DATA
+    lst = tmp_path / "files.txt"
+    lst.write_text("\n".join([str(DATA / "seq.fa")] * 4) + "\n")
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert cli.main(argv) == 0
+        return buf.getvalue()
+
+    serial = run(["-r2", "-l", str(lst)])
+    batched = run(["--engine", "jax", "-r2", "-l", str(lst)])
+    assert batched == serial
