@@ -128,6 +128,12 @@ class msa_aligner:
             generate_rc_msa(ab, p)
         elif p.out_cons:
             generate_consensus(ab, p)
+        if p.out_pog:
+            from .plot import dump_pog
+            dump_pog(ab, p)
+        return self._collect_result(ab, p, tot_n)
+
+    def _collect_result(self, ab, p, tot_n):
         abc = ab.cons
         dec = decode_table(p.m)
         n_cons = abc.n_cons
@@ -145,8 +151,39 @@ class msa_aligner:
             for i in range(abc.n_seq + n_cons):
                 msa_seq.append(bytes(dec[c] for c in abc.msa_base[i]
                                      [:msa_len]).decode())
-        if p.out_pog:
-            from .plot import dump_pog
-            dump_pog(ab, p)
-        return msa_result(tot_n, n_cons, clu_n_seq, clu_read_ids, cons_len,
-                          cons_seq, cons_cov, msa_len, msa_seq)
+        return msa_result(tot_n, n_cons, clu_n_seq, clu_read_ids,
+                          cons_len, cons_seq, cons_cov, msa_len, msa_seq)
+
+    def msa_batch(self, seqs_list, out_cons, out_msa, max_n_cons=1,
+                  min_freq=0.25):
+        """TPU-native extension (no reference analog): run many
+        independent MSA problems through the batched device pipeline
+        (parallel/batch.BatchPOA) and return one msa_result per input,
+        each identical to what .msa() returns for that input alone."""
+        from .parallel import BatchPOA
+        p = self.params
+        p.out_cons = bool(out_cons)
+        p.out_msa = bool(out_msa)
+        p.max_n_cons = max_n_cons
+        p.min_freq = min_freq
+        p.out_pog = None
+        p.incr_fn = None
+        p.post_set()
+        tab = encode_table(p.m)
+        instances = []
+        for seqs in seqs_list:
+            enc = []
+            for seq in seqs:
+                raw = seq.encode() if isinstance(seq, str) else bytes(seq)
+                enc.append(tab[np.frombuffer(raw, dtype=np.uint8)])
+            instances.append(enc)
+        abs_ = BatchPOA(p).run(instances)
+        outs = []
+        for ab in abs_:
+            if p.out_msa:
+                generate_rc_msa(ab, p)
+            elif p.out_cons:
+                generate_consensus(ab, p)
+            outs.append(self._collect_result(ab, p, ab.n_seq))
+        return outs
+

@@ -73,3 +73,20 @@ def test_incremental(tmp_path):
     _, golden = _golden_records("seq_incr_msa.out")  # -r1: no consensus row
     assert res.msa_seq == golden
     assert res.n_seq == 20
+
+
+def test_msa_batch_matches_single():
+    """The TPU-native msa_batch extension must return, per input, the
+    same msa_result fields as a fresh .msa() call on that input."""
+    import abpoa_tpu.pyabpoa as pa
+    seqs = ["ACGTACGTACGT", "ACGTACGAACGT", "ACGTACGTACG",
+            "AGGTACGTACGT"]
+    inputs = [seqs, seqs[::-1], [s[:-2] for s in seqs], seqs]
+    a = pa.msa_aligner()
+    batch = a.msa_batch(inputs, out_cons=True, out_msa=True)
+    for inp, br in zip(inputs, batch):
+        sr = pa.msa_aligner().msa(inp, out_cons=True, out_msa=True)
+        assert br.n_cons == sr.n_cons
+        assert br.cons_seq == sr.cons_seq
+        assert br.msa_seq == sr.msa_seq
+        assert br.cons_cov == sr.cons_cov
