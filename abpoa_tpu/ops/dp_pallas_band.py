@@ -958,9 +958,12 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
 
     # pack the per-row control streams into 16-bit halves (SMEM is 1 MB)
     assert cfg.P < 32 and cfg.m < 32
+    # fresh (whole-graph) exports have an all-ones rowmask — the mask is
+    # a subgraph concept — so the input may be a 1-element dummy
+    rm = (jnp.int32(1 << 10) if cfg.fresh
+          else rowmask.astype(i32) << 10)
     ctrl = (bases.astype(i32) | (pre_n.astype(i32) << 5)
-            | (rowmask.astype(i32) << 10)
-            | (remain.astype(i32) << 16))
+            | rm | (remain.astype(i32) << 16))
     if pre_idx.dtype == jnp.uint8:
         # uint8 DELTA encoding (pred = t - delta, invalid lanes 0): the
         # dispatcher ships deltas when they all fit a byte — predecessor

@@ -592,10 +592,10 @@ class BatchPOA:
         # the band kernel pulls band state from predecessors and never
         # reads out_idx/out_n (tuple slots 4/5); the whole-graph path runs
         # right after a toposort, so mpl0/mpr0 (slots 8/9) are the reset
-        # pattern the kernel synthesizes itself (fresh=True). Ship
-        # 1-element dummies — the tunnel uplink is ~60 MB/s, so
-        # ~12 KB/instance matters
-        dummy_out = {4, 5, 8, 9} if use_band else set()
+        # pattern and rowmask (slot 10) is all-ones — the kernel
+        # synthesizes both (fresh=True). Ship 1-element dummies — the
+        # tunnel uplink is ~60 MB/s, so ~13 KB/instance matters
+        dummy_out = {4, 5, 8, 9, 10} if use_band else set()
         stacked_np = [np.zeros((len(arrs) + pad, 1), np.int8)
                       if i in dummy_out
                       else np.stack([a[i] for a in arrs]
