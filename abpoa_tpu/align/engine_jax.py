@@ -320,7 +320,9 @@ def _backtrack_from_planes(graph, params, query, dg: DenseGraph,
     ctx.res = res
     ctx.query = np.asarray(query, dtype=np.int64)
     ctx.qlen = dg.qlen
-    ctx.beg_index = 0
+    # subgraph windows: dp row t = topo index dg.beg_index + t (the
+    # oracle's mapping, engine_np.py:654-716); whole-graph exports have 0
+    ctx.beg_index = dg.beg_index
     ctx.mat = params.mat
     ctx.it = np.int32
     ctx.inf_min = np.int32(dg.inf_min)

@@ -215,10 +215,9 @@ def main(argv=None) -> int:
         with open(pos[0]) as fp:
             fns = [line.strip() for line in fp if line.strip()]
         # device list mode: batch one POA instance per file across the
-        # chip (the reference runs list entries serially); plain weights
-        # and fresh graphs only — qv weights and -i fall back to serial
-        if (params.engine == "jax" and len(fns) >= 4
-                and not params.use_qv and not params.incr_fn):
+        # chip (the reference runs list entries serially); qv weights and
+        # incremental -i instances batch too (ref abpoa.c:135-143)
+        if params.engine == "jax" and len(fns) >= 4:
             from .parallel.batch import batch_msa_from_files
             batch_msa_from_files(params, fns, out)
         else:

@@ -28,22 +28,33 @@ from ..align.engine_jax import (export_dense, repad_dense, _make_inputs,
                                 _backtrack_from_planes, _bucket)
 
 
-def _make_aligners(instances, params):
+def _make_aligners(instances, params, init=None):
     """One ABPOA per instance, graph store backed by the native C core
     when available (same semantics as the Python store; equivalence is
-    enforced by tests/test_native_graph.py)."""
+    enforced by tests/test_native_graph.py).
+
+    init(ab), when given, seeds each aligner's starting state before any
+    read fuses — the batched analog of the serial loop's incremental
+    restore (-i, ref abpoa_restore_graph src/abpoa_seq.c:595-660).
+    Returns (aligners, read_id_offsets): new reads number from each
+    instance's existing read count, exactly like the serial msa()."""
     from ..graph import NativeGraph
     abs_ = [ABPOA() for _ in instances]
     if NativeGraph.available():
-        for ab, reads in zip(abs_, instances):
-            g = NativeGraph()
-            g.ensure_reads(len(reads))
-            ab.graph = g
+        for ab in abs_:
+            ab.graph = NativeGraph()
+    rid0 = []
     for ab, reads in zip(abs_, instances):
-        ab.n_seq = len(reads)
-        ab.names = [""] * len(reads)
-        ab.is_rc = [0] * len(reads)
-    return abs_
+        if init is not None:
+            init(ab)
+        exist = ab.n_seq
+        rid0.append(exist)
+        ab.n_seq = exist + len(reads)
+        ab.names = list(ab.names) + [""] * len(reads)
+        ab.is_rc = list(ab.is_rc) + [0] * len(reads)
+        if NativeGraph.available():
+            ab.graph.ensure_reads(ab.n_seq)
+    return abs_, rid0
 
 
 def _stack_inputs(dgs, params):
@@ -61,6 +72,19 @@ def _stack_inputs(dgs, params):
 _DISPATCH_POOL = None
 _HOST_POOL = None
 _MESH_KERN_CACHE: dict = {}
+def _interpret() -> bool:
+    """ABPOA_PALLAS_INTERPRET=1 runs the Pallas kernels in interpret
+    mode (CPU emulation) — the dispatch/sharding machinery is then
+    exercised end-to-end without a TPU (tests/test_mesh_pallas.py)."""
+    import os
+    return os.environ.get("ABPOA_PALLAS_INTERPRET") == "1"
+
+
+# When set to a list, every Pallas round dispatch appends
+# (kern_fn, device_input_tuple, nb) — bench.py replays the captured call
+# chained (K launches, one readback) to measure the on-chip kernel rate
+# without the per-call tunnel RTT that e2e timing includes.
+KERNEL_CAPTURE: list | None = None
 
 
 def _host_pool():
@@ -115,6 +139,8 @@ class BatchPOA:
         self.bt_seconds = 0.0      # device wall time of backtrack calls
         self.fallbacks = 0         # instances re-run on the host oracle
         self.rounds = 0
+        self._weights = None       # per-instance per-read qv weights
+        self._rid0 = []            # per-instance read-id offset (-i)
 
     # -------------------------------------------------------------- #
     def _device_call(self, cfg, batched):
@@ -145,9 +171,22 @@ class BatchPOA:
         self.dp_cells += int(np.sum(np.asarray(out.n_cells)[:nb]))
         return out
 
-    def run(self, instances) -> list[ABPOA]:
+    def _weight(self, k, r, q):
+        """Per-base fusion weights of instance k's read r (qv weights when
+        provided, ref abpoa_msa src/abpoa_align.c:373-437; else unit)."""
+        if self._weights is not None and self._weights[k] is not None:
+            return self._weights[k][r]
+        return [1] * len(q)
+
+    def _rid(self, k, r) -> int:
+        """Global read id: instance k's existing reads (incremental
+        restore) come first, new reads number after them."""
+        return self._rid0[k] + r
+
+    def run(self, instances, weights=None, init=None) -> list[ABPOA]:
         params = self.params
-        abs_ = _make_aligners(instances, params)
+        self._weights = weights
+        abs_, self._rid0 = _make_aligners(instances, params, init)
         if (self._effective_engine() == "pallas" and len(instances) >= 4
                 and self.pipeline):
             self._run_pipelined(abs_, instances)
@@ -160,8 +199,10 @@ class BatchPOA:
             for k in live:
                 ab, q = abs_[k], instances[k][r]
                 if ab.graph.node_n <= 2:
-                    ab.graph.add_graph_alignment(params, q, [1] * len(q),
-                                                 [], None, r, True)
+                    ab.graph.add_graph_alignment(params, q,
+                                                 self._weight(k, r, q),
+                                                 [], None,
+                                                 self._rid(k, r), True)
                 else:
                     if not ab.graph.is_topological_sorted:
                         ab.graph.topological_sort(params)
@@ -216,8 +257,10 @@ class BatchPOA:
             for k in live:
                 ab, q = abs_[k], instances[k][r]
                 if ab.graph.node_n <= 2:
-                    ab.graph.add_graph_alignment(params, q, [1] * len(q),
-                                                 [], None, r, True)
+                    ab.graph.add_graph_alignment(params, q,
+                                                 self._weight(k, r, q),
+                                                 [], None,
+                                                 self._rid(k, r), True)
                 else:
                     todo.append(k)
             rounds[s] += 1
@@ -258,7 +301,7 @@ class BatchPOA:
             pending[s] = None
 
     # -------------------------------------------------------------- #
-    def run_seeded(self, instances) -> list[ABPOA]:
+    def run_seeded(self, instances, weights=None, init=None) -> list[ABPOA]:
         """Batched seeded/progressive POA (the reference's -S/-p mode,
         ref abpoa_anchor_poa src/abpoa_align.c:192-299): minimizer seeding,
         guide tree and chaining run host-side per instance; the per-window
@@ -268,23 +311,36 @@ class BatchPOA:
         from ..align.engine_jax import export_dense
         from ..align.engine_np import align_sequence_to_subgraph
         params = self.params
-        abs_ = _make_aligners(instances, params)
+        self._weights = weights
+        abs_, self._rid0 = _make_aligners(instances, params, init)
         gens = []
         reqs = {}
         for k, reads in enumerate(instances):
             ab = abs_[k]
             seq_lens = [len(q) for q in reads]
-            weights = [[1] * L for L in seq_lens]
+            ws = [self._weight(k, r, q) for r, q in enumerate(reads)]
             rmap, par_anchors, par_c = build_guide_tree_partition(
                 reads, seq_lens, params)
-            gen = ab.anchor_poa_requests(params, reads, weights, seq_lens,
-                                         par_anchors, par_c, rmap, 0)
+            gen = ab.anchor_poa_requests(params, reads, ws, seq_lens,
+                                         par_anchors, par_c, rmap,
+                                         self._rid0[k])
             gens.append(gen)
             try:
                 reqs[k] = next(gen)
             except StopIteration:
                 pass
-        use_device = self._effective_engine() == "pallas"
+        eng = self._effective_engine()
+        use_device = eng == "pallas"
+        # portable device batching for window rounds: the XLA engine
+        # consumes the same subgraph exports (filtered adjacency +
+        # rowmask), so seeded rounds shard over a CPU/virtual mesh too
+        # (dryrun, tests) and oversized-window fallbacks stay batched.
+        # Off-mesh CPU runs keep the host oracle (status quo: compile
+        # cost beats the win at test scale).
+        import os as _os
+        use_xla = (eng == "xla"
+                   and (self.mesh is not None
+                        or _os.environ.get("ABPOA_SEEDED_XLA") == "1"))
         # static-shape caps: window qlen is bounded by the longest read,
         # and R/P/O floors ratchet monotonically — without them the
         # per-round maxima drift and every round compiles a fresh kernel
@@ -308,7 +364,7 @@ class BatchPOA:
                 return k, None
             if not g.is_topological_sorted:
                 g.topological_sort(params)
-            if not use_device or len(window) == 0:
+            if not (use_device or use_xla) or len(window) == 0:
                 return k, None
             bi = int(g.node_id_to_index[beg_id])
             ei = int(g.node_id_to_index[end_id])
@@ -316,8 +372,10 @@ class BatchPOA:
                               end_index=ei)
             # packed backtrack step is op|row<<2|col<<14 (12 row bits,
             # 17 col bits) — oversized windows go to the oracle, same
-            # guard as _pallas_dispatch
-            if dg.R > 4096 or (dg.qlen // 128 + 1) * 128 >= (1 << 17):
+            # guard as _pallas_dispatch (the XLA engine has no packed
+            # stream, so no cap there)
+            if use_device and (dg.R > 4096
+                               or (dg.qlen // 128 + 1) * 128 >= (1 << 17)):
                 return k, None
             return k, (k, beg_id, end_id, window, dg)
 
@@ -341,7 +399,9 @@ class BatchPOA:
                             host_only.append(k)
                         else:
                             batch.append(item)
-                    pends = self._seeded_dispatch(batch) if batch else []
+                    pends = ((self._seeded_dispatch(batch) if use_device
+                              else self._seeded_dispatch_xla(batch))
+                             if batch else [])
                     pending[s] = (rq, pends, host_only)
                     self.rounds += 1
             for s in range(S):
@@ -421,54 +481,146 @@ class BatchPOA:
                                for dg in dgs))
             cfg = cfgs[0]
             nb = len(items)
-            # pad the batch to a power-of-FOUR multiple of G: round group
-            # sizes vary as instances finish, and an unbucketed batch dim
-            # would recompile the kernel every round
-            BP = G
+            # pad the batch to a power-of-FOUR multiple of G x ndev:
+            # round group sizes vary as instances finish, and an
+            # unbucketed batch dim would recompile the kernel every
+            # round; over a mesh each device's shard must itself be a
+            # multiple of G (the kernel grid walks the batch in G-groups)
+            ndev = int(np.prod(list(self.mesh.shape.values()))) \
+                if self.mesh is not None else 1
+            BP = G * ndev
             while BP < nb:
                 BP *= 4
             pad = BP - nb
+            interp = _interpret()
             if use_band:
                 kc = BandConfig(gap_mode=cfg.gap_mode,
                                 align_mode=cfg.align_mode, pn=cfg.pn,
                                 R=R, WB=WB, Wq=WqB, P=cfg.P, O=cfg.O,
                                 m=cfg.m, use_zdrop=cfg.use_zdrop,
                                 bt_lmax=LMAX, G=G)
-                kern = band_poa_dp_batch
+                kern = lambda *a: band_poa_dp_batch(  # noqa: E731
+                    kc, *a, interpret=interp)
             else:
                 kc = FWConfig(gap_mode=cfg.gap_mode,
                               align_mode=cfg.align_mode, pn=cfg.pn, R=R,
                               Wq=WqB, P=cfg.P, O=cfg.O, m=cfg.m,
                               use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=G,
                               banded=params.wb >= 0)
-                kern = fw_poa_dp_batch
+                kern = lambda *a: fw_poa_dp_batch(  # noqa: E731
+                    kc, *a, interpret=interp)
+            # seeded window rounds shard over the mesh exactly like the
+            # plain path: pure data parallelism over independent windows
+            # (SURVEY.md window partition = the unit of sharding; ref
+            # windows /root/reference/src/abpoa_seed.c:485-577)
+            kern = self._mesh_wrap(kern, (kc, interp), len(arrs[0]))
             dummy_out = {4, 5} if use_band else set()
             stacked_np = [np.zeros((nb + pad, 1), np.int8)
                           if i in dummy_out
                           else np.stack([a[i] for a in arrs]
                                         + [arrs[0][i]] * pad)
                           for i in range(len(arrs[0]))]
-            step_cap = min(LMAX, (max(d[4].n_rows for d in items)
+            # adaptive fetch cap (same policy as _pallas_dispatch):
+            # typical walk ~ qlen + slack; rare overflows refetch from
+            # the device buffer kept in the pending handle
+            hard_cap = min(LMAX, (max(d[4].n_rows for d in items)
                                   + max(d[4].qlen for d in items)
                                   + 71) // 64 * 64)
+            qmx = max(d[4].qlen for d in items)
+            step_cap = min(hard_cap,
+                           (qmx + max(96, qmx // 4) + 63) // 64 * 64)
             mxn = max(d[4].n_rows for d in items)
             t0 = time.perf_counter()
+            pend = dict(items=items, nb=nb, t0=t0, band=use_band)
 
-            def submit(kern=kern, kc=kc, stacked_np=stacked_np, nb=nb,
+            def submit(kern=kern, stacked_np=stacked_np, nb=nb,
                        step_cap=step_cap, mxn=mxn, use_band=use_band,
-                       R=R, P_=P_):
+                       R=R, P_=P_, pend=pend):
                 sn = (_pre_deltas(list(stacked_np), R, P_) if use_band
                       else stacked_np)
                 stacked = tuple(jnp.asarray(a) for a in sn)
-                out = kern(kc, *stacked)
+                if KERNEL_CAPTURE is not None:
+                    KERNEL_CAPTURE.append((kern, stacked, nb))
+                out = kern(*stacked)
                 st = out.steps16 if use_band else out.steps
+                pend["steps_dev"] = st
                 return jax.device_get(
                     (out.misc[:nb], st[:nb, :step_cap],
                      out.mpl[:nb, :mxn], out.mpr[:nb, :mxn]))
-            fut = self._pool().submit(submit)
-            pends.append(dict(future=fut, items=items, nb=nb, t0=t0,
-                              band=use_band))
+            pend["future"] = self._pool().submit(submit)
+            pends.append(pend)
         return pends
+
+    def _seeded_dispatch_xla(self, batch):
+        """Window rounds on the XLA engine (dp_xla.banded_poa_dp_batch):
+        the same subgraph exports feed the batched banded DP — filtered
+        adjacency keeps dead rows disconnected, and the band writeback is
+        masked by the reachability rowmask (matching what the Pallas
+        kernels do in-kernel). Mesh sharding rides _device_call's
+        NamedSharding. Used on CPU/virtual meshes (dryrun, tests) and as
+        the batched fallback when the Pallas envelope is exceeded."""
+        from ..align.engine_jax import repad_dense
+        params = self.params
+        by_pn = {}
+        for item in batch:
+            by_pn.setdefault(item[4].pn, []).append(item)
+        pends = []
+        for pn, items in by_pn.items():
+            # same ratcheting shape floors as the Pallas path: padded
+            # dims only grow, bounding distinct compiled programs
+            fl = self._seed_floors.setdefault(
+                pn, [min(_bucket(self._seed_wq_cap, 64), 4096),
+                     256, 2, 2])
+            fl[0] = R = max(fl[0], max(d[4].R for d in items))
+            fl[1] = W = max(fl[1], max(d[4].W for d in items))
+            fl[2] = P_ = max(fl[2], max(d[4].P for d in items))
+            fl[3] = O_ = max(fl[3], max(d[4].O for d in items))
+            dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
+            cfg, batched = _stack_inputs(dgs, params)
+            out = self._device_call(cfg, batched)
+            pends.append(dict(xla=True, out=out, items=items, dgs=dgs))
+        return pends
+
+    def _seeded_apply_xla(self, pend, abs_):
+        """Unpack one XLA window chunk: masked band-state writeback +
+        host backtrack from the fetched planes (subgraph-aware via
+        dg.beg_index)."""
+        from ..align.engine_jax import _backtrack_from_planes
+        params = self.params
+        out, items, dgs = pend["out"], pend["items"], pend["dgs"]
+        H = np.asarray(out.H)
+        E1 = np.asarray(out.E1)
+        E2 = np.asarray(out.E2)
+        F1 = np.asarray(out.F1)
+        F2 = np.asarray(out.F2)
+        dp_beg = np.asarray(out.dp_beg).astype(np.int64)
+        dp_end = np.asarray(out.dp_end).astype(np.int64)
+        bs = np.asarray(out.best_score)
+        bi_ = np.asarray(out.best_i)
+        bj = np.asarray(out.best_j)
+        mpl = np.asarray(out.mpl)
+        mpr = np.asarray(out.mpr)
+        results = {}
+        for b, (k, beg_id, end_id, window, dg0) in enumerate(items):
+            g = abs_[k].graph
+            n = dg0.n_rows
+            bi = dg0.beg_index
+            if params.wb >= 0:
+                # only reachable rows carry band state (the oracle never
+                # touches dead rows; the Pallas kernels leave them at
+                # their input values — the same no-op)
+                msk = (dg0.rowmask[:n].astype(bool)
+                       if dg0.rowmask is not None
+                       else np.ones(n, dtype=bool))
+                ids = np.asarray(g.index_to_node_id[bi:bi + n],
+                                 dtype=np.int64)[msk]
+                g.node_id_to_max_pos_left[ids] = mpl[b, :n][msk]
+                g.node_id_to_max_pos_right[ids] = mpr[b, :n][msk]
+            results[k] = _backtrack_from_planes(
+                g, params, window, dgs[b], H[b, :n], E1[b, :n],
+                E2[b, :n], F1[b, :n], F2[b, :n], dp_beg[b, :n],
+                dp_end[b, :n], int(bs[b]), int(bi_[b]), int(bj[b]))
+        return results
 
     def _seeded_apply(self, pend, abs_):
         """Fetch one seeded chunk's results and replay/fuse them."""
@@ -476,6 +628,8 @@ class BatchPOA:
         from ..align.engine_np import AlignResult, align_sequence_to_subgraph
         from ..ops import dp_pallas as dpp
         from ..ops import bt_xla
+        if pend.get("xla"):
+            return self._seeded_apply_xla(pend, abs_)
         params = self.params
         results = {}
         misc, steps, mpl, mpr = pend["future"].result()
@@ -503,10 +657,14 @@ class BatchPOA:
             res = AlignResult()
             res.best_score = int(misc[b, dpp.M_BEST])
             nst = int(misc[b, dpp.M_NSTEPS])
-            stp = (bt_xla.unpack_steps16(steps[b], nst,
+            srow = steps[b]
+            if nst > srow.shape[0]:
+                import jax
+                srow = jax.device_get(pend["steps_dev"][b, :nst])
+            stp = (bt_xla.unpack_steps16(srow, nst,
                                          int(misc[b, dpp.M_BI]),
                                          int(misc[b, dpp.M_BJ]))
-                   if pend["band"] else steps[b])
+                   if pend["band"] else srow)
             bt_xla.replay_steps(g, params, np.asarray(window),
                                 stp, nst,
                                 int(misc[b, dpp.M_BI]),
@@ -515,21 +673,48 @@ class BatchPOA:
                                 int(misc[b, dpp.M_ENDJ]), res,
                                 row0=bi)
             results[k] = res
+        pend.pop("steps_dev", None)
         return results
 
     def _effective_engine(self) -> str:
-        """Pallas needs a real TPU backend; all three align modes run on
-        the device kernels (banded via band/fw, local/unbanded via the fw
-        kernel's full rows)."""
+        """Pallas needs a real TPU backend (or the interpret-mode escape
+        hatch, ABPOA_PALLAS_INTERPRET=1, which emulates the kernels on
+        CPU so the shard_map+Pallas dispatch is testable without chips);
+        all three align modes run on the device kernels (banded via
+        band/fw, local/unbanded via the fw kernel's full rows)."""
         import jax
         from ..params import GLOBAL_MODE, LOCAL_MODE, EXTEND_MODE
         if self.engine == "xla":
             return "xla"
-        if (self.params.align_mode not in (GLOBAL_MODE, LOCAL_MODE,
-                                           EXTEND_MODE)
-                or jax.default_backend() not in ("tpu", "axon")):
+        if self.params.align_mode not in (GLOBAL_MODE, LOCAL_MODE,
+                                          EXTEND_MODE):
+            return "xla"
+        if jax.default_backend() not in ("tpu", "axon") \
+                and not _interpret():
             return "xla"
         return "pallas"
+
+    def _mesh_wrap(self, kern_fn, cfg_key, n_in):
+        """Data-parallel dispatch over the mesh: independent instances
+        shard over the batch axis, each device runs the kernel on its
+        shard — no collectives in the DP itself. The jitted shard-mapped
+        callable caches process-globally per static config; a fresh
+        jax.jit object every round would miss the C++ dispatch cache and
+        retrace each round."""
+        if self.mesh is None:
+            return kern_fn
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        key = (cfg_key, tuple(d.id for d in self.mesh.devices.flat),
+               tuple(self.mesh.axis_names), self.batch_axis, n_in)
+        if key not in _MESH_KERN_CACHE:
+            _MESH_KERN_CACHE[key] = jax.jit(shard_map(
+                kern_fn, mesh=self.mesh,
+                in_specs=tuple(P(self.batch_axis)
+                               for _ in range(n_in)),
+                out_specs=P(self.batch_axis), check_rep=False))
+        return _MESH_KERN_CACHE[key]
 
     # -------------------------------------------------------------- #
     def _round_pallas(self, abs_, group, dgs, r, instances):
@@ -602,6 +787,7 @@ class BatchPOA:
                                     + [arrs[0][i]] * pad)
                       for i in range(len(arrs[0]))]
         t0 = time.perf_counter()
+        interp = _interpret()
         if use_band:
             from ..ops.dp_pallas_band import BandConfig, band_poa_dp_batch
             bc = BandConfig(gap_mode=cfg.gap_mode,
@@ -609,61 +795,55 @@ class BatchPOA:
                             WB=WB, Wq=WqB, P=cfg.P, O=cfg.O, m=cfg.m,
                             use_zdrop=cfg.use_zdrop, bt_lmax=LMAX, G=Gb,
                             fresh=True)
-            kern_fn = lambda *a: band_poa_dp_batch(bc, *a)  # noqa: E731
+            kern_fn = lambda *a: band_poa_dp_batch(  # noqa: E731
+                bc, *a, interpret=interp)
+            cfg_key = bc
         elif use_fw:
             from ..ops.dp_pallas_fw import FWConfig, fw_poa_dp_batch
             fwc = FWConfig(gap_mode=cfg.gap_mode, align_mode=cfg.align_mode,
                            pn=cfg.pn, R=R, Wq=Wq, P=cfg.P, O=cfg.O,
                            m=cfg.m, use_zdrop=cfg.use_zdrop,
                            bt_lmax=LMAX, G=G, banded=params.wb >= 0)
-            kern_fn = lambda *a: fw_poa_dp_batch(fwc, *a)  # noqa: E731
+            kern_fn = lambda *a: fw_poa_dp_batch(  # noqa: E731
+                fwc, *a, interpret=interp)
+            cfg_key = fwc
         else:
-            kern_fn = lambda *a: dpp.pallas_poa_dp_batch(cfg, *a)  # noqa
-        if self.mesh is not None:
-            # pure data parallelism: independent instances shard over the
-            # batch axis; each device runs the kernel on its shard. Cache
-            # the jitted shard-mapped callable per static config — a fresh
-            # jax.jit object every round would miss the jit cache and
-            # recompile each round.
-            import jax
-            from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
-            # process-global cache: BatchPOA objects are created per run,
-            # and per-instance jax.jit objects would retrace every shape
-            # on every run (a fresh jit misses jax's C++ dispatch cache)
-            global _MESH_KERN_CACHE
-            key = (bc if use_band else (fwc if use_fw else cfg),
-                   tuple(d.id for d in self.mesh.devices.flat),
-                   tuple(self.mesh.axis_names), self.batch_axis,
-                   len(stacked_np))
-            if key not in _MESH_KERN_CACHE:
-                _MESH_KERN_CACHE[key] = jax.jit(shard_map(
-                    kern_fn, mesh=self.mesh,
-                    in_specs=tuple(P(self.batch_axis)
-                                   for _ in range(len(stacked_np))),
-                    out_specs=P(self.batch_axis), check_rep=False))
-            kern_fn = _MESH_KERN_CACHE[key]
+            kern_fn = lambda *a: dpp.pallas_poa_dp_batch(  # noqa: E731
+                cfg, *a, interpret=interp)
+            cfg_key = cfg
+        kern_fn = self._mesh_wrap(kern_fn, (cfg_key, interp),
+                                  len(stacked_np))
 
         # upload, dispatch AND result fetch all block on the tunnel RTT;
         # run the whole device round in a worker thread so transport
         # overlaps both the main thread's fusion and the other in-flight
         # shards' kernels (I/O releases the GIL)
-        # fetch cap: a walk step always decrements i or j, so the path is
-        # bounded by live rows + query length — fetching the full padded
-        # step buffer would waste the ~16 MB/s tunnel downlink
-        step_cap = min(LMAX, (max(d.n_rows for d in dgs)
+        # adaptive fetch cap: the walk is bounded by rows+qlen, but the
+        # TYPICAL path is ~qlen + a few deletions — fetch qlen + slack
+        # and refetch the rare overflowing instance from the device
+        # buffer kept alive in the pending handle (the ~16 MB/s tunnel
+        # downlink makes steps16 the largest per-round fetch)
+        hard_cap = min(LMAX, (max(d.n_rows for d in dgs)
                               + max(d.qlen for d in dgs) + 71) // 64 * 64)
+        qmax = max(d.qlen for d in dgs)
+        step_cap = min(hard_cap,
+                       (qmax + max(96, qmax // 4) + 63) // 64 * 64)
+        pend = dict(nb=nb, abs_=abs_, group=group, r=r,
+                    instances=instances, t0=t0, band=use_band,
+                    step_cap=step_cap)
 
         def submit():
             sn = (_pre_deltas(list(stacked_np), R, cfg.P) if use_band
                   else stacked_np)
             stacked = tuple(jnp.asarray(a) for a in sn)
+            if KERNEL_CAPTURE is not None:
+                KERNEL_CAPTURE.append((kern_fn, stacked, nb))
             out = kern_fn(*stacked)
             st = out.steps16 if use_band else out.steps
+            pend["steps_dev"] = st  # for rare over-cap refetch
             return jax.device_get((out.misc[:nb], st[:nb, :step_cap]))
-        fut = self._pool().submit(submit)
-        return dict(future=fut, nb=nb, abs_=abs_, group=group, r=r,
-                    instances=instances, t0=t0, band=use_band)
+        pend["future"] = self._pool().submit(submit)
+        return pend
 
     def _pool(self):
         # one shared dispatch pool for the process (BatchPOA instances
@@ -698,19 +878,27 @@ class BatchPOA:
             b, k = b_k
             ab = abs_[k]
             q = instances[k][r]
+            w = self._weight(k, r, q)
+            rid = self._rid(k, r)
             bad = bool(misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL])
             nst = int(misc[b, dpp.M_NSTEPS])
-            stp = (bt_xla.unpack_steps16(steps[b], nst,
+            srow = steps[b]
+            if nst > srow.shape[0]:
+                # rare over-cap path (long deletion runs): refetch this
+                # instance's full step stream from the device buffer
+                import jax
+                srow = jax.device_get(pend["steps_dev"][b, :nst])
+            stp = (bt_xla.unpack_steps16(srow, nst,
                                          int(misc[b, dpp.M_BI]),
                                          int(misc[b, dpp.M_BJ]))
-                   if pend.get("band") else steps[b])
+                   if pend.get("band") else srow)
             if params.amb_strand and (
                     bad or self._amb_flagged(ab, q,
                                              int(misc[b, dpp.M_BEST]))):
                 # rc-retry candidate: redo fwd+rc through the sequential
                 # per-read body (bit-equal to the device fwd by the
                 # engine equivalence chain), ref abpoa_align.c:315
-                ab.poa_one(params, q, [1] * len(q), r)
+                ab.poa_one(params, q, w, rid)
                 return
             if bad:
                 self.fallbacks += 1
@@ -722,7 +910,9 @@ class BatchPOA:
                 # one C pass, no Python cigar materialization
                 ab.graph.fuse_steps(params, 0, stp, nst,
                                     int(misc[b, dpp.M_BJ]),
-                                    int(misc[b, dpp.M_ENDJ]), q, r, True)
+                                    int(misc[b, dpp.M_ENDJ]), q, rid, True,
+                                    weight=(None if self._weights is None
+                                            else w))
                 return
             else:
                 res = AlignResult()
@@ -733,12 +923,13 @@ class BatchPOA:
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDI]),
                                     int(misc[b, dpp.M_ENDJ]), res)
-            ab.graph.add_graph_alignment(params, q, [1] * len(q),
-                                         res.cigar, None, r, True)
+            ab.graph.add_graph_alignment(params, q, w,
+                                         res.cigar, None, rid, True)
 
         # instance-parallel fusion: each b mutates a different graph, and
         # the hot path is one C call (GIL released)
         list(_host_pool().map(fuse_one, enumerate(group)))
+        pend.pop("steps_dev", None)  # release the device step buffer
 
     def _amb_flagged(self, ab, q, score: int) -> bool:
         """Ambiguous-strand retry threshold (ref abpoa_align.c:315)."""
@@ -769,7 +960,8 @@ class BatchPOA:
             if params.amb_strand and self._amb_flagged(ab, q, int(bs[b])):
                 # before the band-state writeback: the sequential rc-retry
                 # reruns the fwd align from the pre-align band state
-                ab.poa_one(params, q, [1] * len(q), r)
+                ab.poa_one(params, q, self._weight(k, r, q),
+                           self._rid(k, r))
                 continue
             if params.wb >= 0:
                 i2n = np.asarray(g.index_to_node_id[:n], dtype=np.int64)
@@ -779,8 +971,8 @@ class BatchPOA:
                 g, params, q, dg, H[b, :n], E1[b, :n], E2[b, :n],
                 F1[b, :n], F2[b, :n], dp_beg[b, :n], dp_end[b, :n],
                 int(bs[b]), int(bi[b]), int(bj[b]))
-            g.add_graph_alignment(params, q, [1] * len(q), res.cigar,
-                                  None, r, True)
+            g.add_graph_alignment(params, q, self._weight(k, r, q),
+                                  res.cigar, None, self._rid(k, r), True)
 
     def dp_busy_seconds(self) -> float:
         """Union length of the device-call intervals (the summed
@@ -796,12 +988,13 @@ class BatchPOA:
                 end = t1
         return total
 
-    def run_consensus(self, instances):
+    def run_consensus(self, instances, seeded=False):
         """Full pipeline: batched POA then consensus per instance; returns
-        list of consensus strings (heaviest bundling, max_n_cons=1)."""
+        list of consensus strings (heaviest bundling, max_n_cons=1).
+        seeded=True routes through the windowed -S/-p pipeline."""
         from ..consensus import generate_consensus
         from ..alphabet import decode_table
-        abs_ = self.run(instances)
+        abs_ = self.run_seeded(instances) if seeded else self.run(instances)
         tab = decode_table(self.params.m)
         outs = []
         for ab in abs_:
@@ -817,24 +1010,41 @@ def batch_msa_from_files(params, fns, out):
     BatchPOA, outputs rendered in file order — byte-identical to running
     abpoa_msa1 serially per file (the reference processes list entries
     one by one, src/abpoa_align.c:439-503; batching across files is the
-    TPU-native win). Gated by the caller to plain-weight, non-incremental
-    runs."""
+    TPU-native win). Covers qv weights (-Q fastq, ref abpoa.c:135-138)
+    and incremental graphs (-i, every instance restores the same initial
+    graph before its reads fuse)."""
     from ..seqio import read_seqs
     from ..alphabet import encode_table
     from ..params import GLOBAL_MODE
     tab = encode_table(params.m)
     instances = []
     names = []
+    weights = None
+    if params.use_qv:
+        weights = []
     for fn in fns:
         recs = read_seqs(fn)
         names.append([r.name for r in recs])
         instances.append([
             tab[np.frombuffer(r.seq.encode(), dtype=np.uint8)]
             for r in recs])
+        if weights is not None:
+            weights.append([
+                [ord(c) - 32 for c in r.qual] if r.qual
+                else [1] * len(r.seq) for r in recs])
+    init = None
+    if params.incr_fn:
+        from ..gfa import restore_graph
+
+        def init(ab):
+            restore_graph(ab, params)
     bp = BatchPOA(params)
     seeded = (not (params.disable_seeding and not params.progressive_poa)
               and params.align_mode == GLOBAL_MODE)
-    abs_ = bp.run_seeded(instances) if seeded else bp.run(instances)
+    abs_ = (bp.run_seeded(instances, weights=weights, init=init) if seeded
+            else bp.run(instances, weights=weights, init=init))
     for ab, nm in zip(abs_, names):
-        ab.names = nm
+        # restored reads (incremental) keep their names; new reads take
+        # the input file's record names
+        ab.names = list(ab.names[:ab.n_seq - len(nm)]) + nm
         ab.output(params, out)

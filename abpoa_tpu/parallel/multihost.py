@@ -95,9 +95,14 @@ def _local_mesh(batch_axis: str = "data"):
 
 
 def run_render_gather(params: Params, instances, render, engine="pallas",
-                      use_local_mesh=True, stats=None):
+                      use_local_mesh=True, stats=None, seeded=False):
     """Run BatchPOA on this host's shard, render each aligner's output
     with ``render(ab, params, out_io)``, gather across hosts.
+
+    ``seeded=True`` routes the shard through the seeded/windowed pipeline
+    (the reference's -S/-p mode, ref src/abpoa_align.c:192-299) — window
+    rounds batch across this host's instances and shard over its local
+    mesh, exactly like the plain path.
 
     Returns the concatenated output text (global instance order) on host
     0, None elsewhere. ``stats`` (optional dict) receives this host's
@@ -108,7 +113,7 @@ def run_render_gather(params: Params, instances, render, engine="pallas",
     mesh = _local_mesh() if use_local_mesh else None
     bp = BatchPOA(params, mesh=mesh, engine=engine)
     t0 = time.perf_counter()
-    abs_ = bp.run(mine)
+    abs_ = bp.run_seeded(mine) if seeded else bp.run(mine)
     out = io.StringIO()
     for ab in abs_:
         render(ab, params, out)
@@ -128,9 +133,9 @@ def _render_output(ab, params, out):
 
 
 def run_consensus_fasta(params: Params, instances, engine="pallas",
-                        stats=None):
+                        stats=None, seeded=False):
     """Full distributed pipeline -> consensus FASTA text on host 0."""
     if not (params.out_cons or params.out_msa or params.out_gfa):
         params.out_cons = 1
     return run_render_gather(params, instances, _render_output,
-                             engine=engine, stats=stats)
+                             engine=engine, stats=stats, seeded=seeded)

@@ -2,15 +2,33 @@
 """Benchmark: aggregate POA DP throughput (band cells/s) on the TPU chip
 vs the reference abPOA binary on the host CPU.
 
-Prints ONE JSON line:
+Prints JSON lines; every line is a full headline record
   {"metric": "dp_cells_per_s", "value": N, "unit": "cells/s",
    "vs_baseline": N / reference_cells_per_s, ...extras}
+re-emitted as each phase lands, so the LAST line is always the most
+complete measurement available — even if the process is killed mid-run.
+
+Hard wall-clock budget (ABPOA_BENCH_BUDGET_S, default 360 s): a watchdog
+thread emits the best record so far and exits 0 at the deadline, so a
+degraded device tunnel can slow the bench down but can never turn it into
+an rc=124 with no output (the round-2 failure mode). Each optional phase
+(extra reps, kernel-rate, mesh, seeded) runs only if enough budget
+remains and skips cleanly otherwise.
 
 Band cells are identical between the engines (bit-identical band geometry,
 see tests/test_engine_jax.py), so cells/s is a fair apples-to-apples rate.
 The reference rate is measured live when .refbuild/bin_stock/abpoa exists
 (tests/golden/make_sanitized_ref.sh builds it), else taken from the recorded
-measurement in BENCH_BASELINE.json.
+measurement in BENCH_BASELINE.json. Telemetry analog in the reference:
+wall/CPU/RSS footer, /root/reference/src/abpoa.c:146.
+
+Extras:
+  kernel_cells_per_s — chained-dispatch kernel-only rate: the largest
+    captured round is replayed K times back-to-back with ONE readback, so
+    the per-call tunnel RTT (~30-60 ms here) amortizes away and the number
+    reflects on-chip sweep+walk time (docs/ROADMAP.md round-2 analysis).
+  mesh   — same pipeline through the shard_map dispatch on a 1-device mesh.
+  seeded — config-5 seeded/windowed workload (BASELINE.json), windows/s.
 """
 from __future__ import annotations
 
@@ -19,6 +37,7 @@ import os
 import pathlib
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -28,8 +47,43 @@ sys.path.insert(0, str(REPO))
 
 N_INSTANCES = int(os.environ.get("ABPOA_BENCH_INSTANCES", "64"))
 FIXTURE = os.environ.get("ABPOA_BENCH_FIXTURE", "heter.fa")
+BUDGET_S = float(os.environ.get("ABPOA_BENCH_BUDGET_S", "360"))
 BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 REF_BIN = REPO / ".refbuild" / "bin_stock" / "abpoa"
+
+T_START = time.monotonic()
+DEADLINE = T_START + BUDGET_S
+
+
+def left() -> float:
+    return DEADLINE - time.monotonic()
+
+
+# ------------------------------------------------------------------ #
+# headline record: re-emitted after every phase; the watchdog re-prints
+# the latest one at the deadline so the last stdout line always parses
+_STATE: dict = {"record": None, "done": False}
+
+
+def emit(record: dict) -> None:
+    _STATE["record"] = record
+    print(json.dumps(record), flush=True)
+
+
+def _watchdog() -> None:
+    while not _STATE["done"]:
+        if time.monotonic() >= DEADLINE:
+            rec = _STATE["record"] or {
+                "metric": "dp_cells_per_s", "value": 0.0,
+                "unit": "cells/s", "vs_baseline": None,
+                "extras": {"error": "budget exhausted before any "
+                                    "measurement completed"}}
+            rec = dict(rec)
+            rec.setdefault("extras", {})
+            rec["extras"] = dict(rec["extras"], budget_exhausted=True)
+            print(json.dumps(rec), flush=True)
+            os._exit(0)
+        time.sleep(1.0)
 
 
 def _load_reads(fn):
@@ -41,24 +95,32 @@ def _load_reads(fn):
             for r in recs]
 
 
-def _reference_cells_per_s(fixture: str, cells_per_instance: int) -> float:
-    """Measure the reference binary's aggregate cells/s on this host."""
-    if REF_BIN.exists():
-        n = max(N_INSTANCES, 32)
-        lst = "\n".join([str(REPO / "tests" / "data" / fixture)] * n) + "\n"
-        lp = pathlib.Path("/tmp/abpoa_bench.list")
-        lp.write_text(lst)
-        # min of 3: external interference on the shared VM only ever
-        # ADDS time, so the minimum is the best estimator of the
-        # binary's true rate (same policy as the device side)
-        dts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            subprocess.run([str(REF_BIN), "-l", str(lp)],
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL, check=True)
-            dts.append(time.perf_counter() - t0)
-        dt = min(dts)
+def _reference_wall(fixture: str):
+    """Measure the reference binary's wall time on this host CPU.
+    Returns (n_instances, min_wall_s) or None. Runs before any device
+    work — it needs no JAX and finishes in seconds."""
+    if not REF_BIN.exists():
+        return None
+    n = max(N_INSTANCES, 32)
+    lst = "\n".join([str(REPO / "tests" / "data" / fixture)] * n) + "\n"
+    lp = pathlib.Path("/tmp/abpoa_bench.list")
+    lp.write_text(lst)
+    # min of 3: external interference on the shared VM only ever ADDS
+    # time, so the minimum is the best estimator of the binary's rate
+    # (same policy as the device side)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        subprocess.run([str(REF_BIN), "-l", str(lp)],
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=True)
+        dts.append(time.perf_counter() - t0)
+    return n, min(dts)
+
+
+def _reference_cells_per_s(ref_wall, fixture, cells_per_instance):
+    if ref_wall is not None:
+        n, dt = ref_wall
         rate = n * cells_per_instance / dt
         # the committed baseline stays stable: a live measurement only
         # replaces it behind an explicit opt-in (a noisy run on a loaded
@@ -77,116 +139,8 @@ def _reference_cells_per_s(fixture: str, cells_per_instance: int) -> float:
     return float("nan")
 
 
-def _seeded_instances(reads, n: int):
-    """Config-5-shaped workload: n seeded amplicon windows with VARIED
-    read lengths (deterministic trims -> several (R, Wq) shape buckets,
-    stressing bucketing and recompilation, unlike identical copies)."""
-    out = []
-    for k in range(n):
-        trim = (k % 5) * 120
-        out.append([q[: max(64, len(q) - trim)] for q in reads])
-    return out
-
-
-def _bench_seeded(reads, n: int):
-    """1k+ seeded windows through run_seeded (-S path; BASELINE.json
-    config 5). Returns the JSON record."""
-    from abpoa_tpu.params import Params
-    from abpoa_tpu.parallel import BatchPOA
-    instances = _seeded_instances(reads, n)
-    params = Params().post_set()
-    params.disable_seeding = 0
-    params.post_set()
-    warm = BatchPOA(Params().post_set())
-    warm.params.disable_seeding = 0
-    warm.params.post_set()
-    # device rounds chunk at 128 per shard group, so a 256-instance
-    # warmup compiles every padded-batch bucket the timed run will see
-    warm.run_seeded(_seeded_instances(reads, min(n, 256)))
-    bp = BatchPOA(params)
-    t0 = time.perf_counter()
-    abs_ = bp.run_seeded(instances)
-    e2e = time.perf_counter() - t0
-    from abpoa_tpu.consensus import generate_consensus
-    for ab in abs_[:4]:
-        generate_consensus(ab, params)
-        assert ab.cons.n_cons >= 1
-    return {
-        "metric": "seeded_windows_per_s",
-        "value": round(n / e2e, 3),
-        "unit": "windows/s",
-        "extras": {
-            "instances": n,
-            "length_buckets": 5,
-            "e2e_seconds": round(e2e, 3),
-            "dp_seconds": round(bp.dp_seconds, 3),
-            "dp_busy_seconds": round(bp.dp_busy_seconds(), 3),
-            "dp_cells": bp.dp_cells,
-            "rounds": bp.rounds,
-            "fallbacks": bp.fallbacks,
-        },
-    }
-
-
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from jax.sharding import Mesh
-    from abpoa_tpu.params import Params
-    from abpoa_tpu.parallel import BatchPOA
-
-    reads = _load_reads(FIXTURE)
-    instances = [reads] * N_INSTANCES
-    params = Params().post_set()
-
-    # warmup: compile every (shape-bucket) program at the bench batch size
-    BatchPOA(Params().post_set()).run_consensus(instances)
-
-    # min of 5 reps: the host VM and device tunnel are shared and the
-    # interference is one-sided (it only ever adds time), so the minimum
-    # estimates the system's true rate; the median is kept in extras.
-    # The reference binary's rate uses the same min-of-N policy.
-    reps = []
-    for _ in range(5):
-        bp = BatchPOA(Params().post_set())
-        t0 = time.perf_counter()
-        cons = bp.run_consensus(instances)
-        reps.append((time.perf_counter() - t0, bp))
-        assert all(c == cons[0] for c in cons)
-    reps.sort(key=lambda x: x[0])
-    e2e, bp = reps[0]
-    e2e_median = reps[2][0]
-
-    # mesh variant: the shard_map dispatch path (parallel/batch.py) on the
-    # real chip (1-device mesh here; N-chip meshes use the same program)
-    mesh_extras = None
-    if os.environ.get("ABPOA_BENCH_MESH", "1") == "1":
-        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-        BatchPOA(Params().post_set(), mesh=mesh).run_consensus(instances)
-        bm = BatchPOA(Params().post_set(), mesh=mesh)
-        t0 = time.perf_counter()
-        cons_m = bm.run_consensus(instances)
-        mesh_e2e = time.perf_counter() - t0
-        assert cons_m == cons
-        mesh_extras = {"devices": 1,
-                       "e2e_seconds": round(mesh_e2e, 4),
-                       "windows_per_s": round(N_INSTANCES / mesh_e2e, 4)}
-
-    # config-5 seeded workload (second JSON line, printed first so the
-    # driver's one-line contract keeps the headline metric last)
-    seeded = None
-    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "1024"))
-    if n_seeded:
-        seeded = _bench_seeded(reads, n_seeded)
-        print(json.dumps(seeded))
-
-    cells_per_instance = bp.dp_cells // N_INSTANCES
-    # aggregate end-to-end rate: same accounting as the reference side
-    # (cells divided by total wall time including host graph work)
+def _headline(bp, e2e, ref_rate, extras_extra=None):
     value = bp.dp_cells / e2e
-    ref_rate = _reference_cells_per_s(FIXTURE, cells_per_instance)
     out = {
         "metric": "dp_cells_per_s",
         "value": round(value, 1),
@@ -200,18 +154,198 @@ def main():
             "dp_seconds": round(bp.dp_seconds, 4),
             "dp_busy_seconds": round(bp.dp_busy_seconds(), 4),
             "e2e_seconds": round(e2e, 4),
-            "e2e_seconds_median": round(e2e_median, 4),
             "windows_per_s": round(N_INSTANCES / e2e, 4),
             "ref_cells_per_s": round(ref_rate, 1) if ref_rate == ref_rate
             else None,
-            "device": str(jax.devices()[0]),
-            "mesh": mesh_extras,
-            "seeded": (dict(value=seeded["value"], **seeded["extras"])
-                       if seeded else None),
+            "budget_s": BUDGET_S,
+            "elapsed_s": round(time.monotonic() - T_START, 1),
         },
     }
-    print(json.dumps(out))
+    if extras_extra:
+        out["extras"].update(extras_extra)
+    return out
+
+
+# ------------------------------------------------------------------ #
+def _bench_kernel_rate(captured):
+    """Chained-dispatch kernel-only rate: replay the largest captured
+    round K times back-to-back with one readback. The tunnel's
+    block_until_ready does not actually block (CLAUDE.md), so completion
+    is forced through a device->host readback of the last output."""
+    import jax
+    from abpoa_tpu.ops import dp_pallas as dpp
+    if not captured:
+        return None
+    # largest round = most cells; proxy: batch size x input bytes
+    kern_fn, stacked, nb = max(
+        captured, key=lambda c: c[2] * sum(int(np.prod(a.shape))
+                                           for a in c[1]))
+    out = kern_fn(*stacked)
+    misc = jax.device_get(out.misc)          # readback = real barrier
+    cells = int(misc[:nb, dpp.M_CELLS].sum())
+    K = int(os.environ.get("ABPOA_BENCH_KERNEL_K", "8"))
+    t0 = time.perf_counter()
+    for _ in range(K):
+        out = kern_fn(*stacked)
+    jax.device_get(out.misc[:1, :1])
+    dt = time.perf_counter() - t0
+    return {"kernel_cells_per_s": round(K * cells / dt, 1),
+            "kernel_chain_K": K,
+            "kernel_round_ms": round(dt / K * 1e3, 3),
+            "kernel_round_cells": cells,
+            "kernel_batch": nb}
+
+
+def _seeded_instances(reads, n: int):
+    """Config-5-shaped workload: n seeded amplicon windows with VARIED
+    read lengths (deterministic trims -> several (R, Wq) shape buckets,
+    stressing bucketing and recompilation, unlike identical copies)."""
+    out = []
+    for k in range(n):
+        trim = (k % 5) * 120
+        out.append([q[: max(64, len(q) - trim)] for q in reads])
+    return out
+
+
+def _bench_seeded(reads, n: int):
+    """Seeded windows through run_seeded (-S path; BASELINE.json config
+    5). Returns the JSON record dict for the headline extras."""
+    from abpoa_tpu.params import Params
+    from abpoa_tpu.parallel import BatchPOA
+    params = Params().post_set()
+    params.disable_seeding = 0
+    params.post_set()
+    warm = BatchPOA(Params().post_set())
+    warm.params.disable_seeding = 0
+    warm.params.post_set()
+    # device rounds chunk at 128 per shard group, so a 256-instance
+    # warmup compiles every padded-batch bucket the timed run will see
+    warm.run_seeded(_seeded_instances(reads, min(n, 256)))
+    if left() < 45:
+        return {"skipped": "budget", "warmed": True}
+    bp = BatchPOA(params)
+    t0 = time.perf_counter()
+    abs_ = bp.run_seeded(_seeded_instances(reads, n))
+    e2e = time.perf_counter() - t0
+    from abpoa_tpu.consensus import generate_consensus
+    for ab in abs_[:4]:
+        generate_consensus(ab, params)
+        assert ab.cons.n_cons >= 1
+    return {
+        "value": round(n / e2e, 3),
+        "unit": "windows/s",
+        "instances": n,
+        "length_buckets": 5,
+        "e2e_seconds": round(e2e, 3),
+        "dp_seconds": round(bp.dp_seconds, 3),
+        "dp_busy_seconds": round(bp.dp_busy_seconds(), 3),
+        "dp_cells": bp.dp_cells,
+        "rounds": bp.rounds,
+        "fallbacks": bp.fallbacks,
+    }
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    # emit a provisional floor first: any later kill still parses
+    emit({"metric": "dp_cells_per_s", "value": 0.0, "unit": "cells/s",
+          "vs_baseline": None,
+          "extras": {"status": "provisional", "fixture": FIXTURE,
+                     "instances": N_INSTANCES, "budget_s": BUDGET_S}})
+
+    # reference first: host-CPU subprocess, no device dependency
+    ref_wall = _reference_wall(FIXTURE)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from abpoa_tpu.params import Params
+    from abpoa_tpu.parallel import BatchPOA
+    from abpoa_tpu.parallel import batch as batch_mod
+
+    reads = _load_reads(FIXTURE)
+    instances = [reads] * N_INSTANCES
+
+    # warmup compiles exactly the shape buckets the timed run uses (same
+    # instances object); kernel rounds are captured for the chained replay
+    batch_mod.KERNEL_CAPTURE = captured = []
+    BatchPOA(Params().post_set()).run_consensus(instances)
+    batch_mod.KERNEL_CAPTURE = None
+
+    # timed reps, adaptive: min-of-N because host/tunnel interference is
+    # one-sided (only ever adds time); rep 1 lands the headline, later
+    # reps only run while less than half the budget is spent
+    reps = []
+    cons = None
+    while len(reps) < 5:
+        bp = BatchPOA(Params().post_set())
+        t0 = time.perf_counter()
+        c = bp.run_consensus(instances)
+        reps.append((time.perf_counter() - t0, bp))
+        if cons is None:
+            cons = c
+            assert all(x == cons[0] for x in cons)
+        e2e, best = min(reps, key=lambda x: x[0])
+        cpi = best.dp_cells // N_INSTANCES
+        ref_rate = _reference_cells_per_s(ref_wall, FIXTURE, cpi)
+        emit(_headline(best, e2e, ref_rate, {"reps": len(reps)}))
+        if time.monotonic() - T_START > 0.5 * BUDGET_S:
+            break
+    extras = {"reps": len(reps),
+              "e2e_seconds_median": round(
+                  sorted(r[0] for r in reps)[len(reps) // 2], 4),
+              "device": str(jax.devices()[0])}
+
+    # ---- best-effort phases; each skips cleanly on low budget ---- #
+    if left() > 60:
+        try:
+            kr = _bench_kernel_rate(captured)
+            if kr:
+                extras.update(kr)
+        except Exception as e:  # never let an extra kill the headline
+            extras["kernel_error"] = repr(e)
+        emit(_headline(best, e2e, ref_rate, extras))
+    del captured
+
+    if os.environ.get("ABPOA_BENCH_MESH", "1") == "1" and left() > 60:
+        try:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+            BatchPOA(Params().post_set(), mesh=mesh).run_consensus(
+                instances)
+            bm = BatchPOA(Params().post_set(), mesh=mesh)
+            t0 = time.perf_counter()
+            cons_m = bm.run_consensus(instances)
+            mesh_e2e = time.perf_counter() - t0
+            assert cons_m == cons
+            extras["mesh"] = {"devices": 1,
+                              "e2e_seconds": round(mesh_e2e, 4),
+                              "windows_per_s": round(
+                                  N_INSTANCES / mesh_e2e, 4)}
+        except Exception as e:
+            extras["mesh"] = {"error": repr(e)}
+        emit(_headline(best, e2e, ref_rate, extras))
+
+    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "512"))
+    if n_seeded and left() > 120:
+        try:
+            extras["seeded"] = _bench_seeded(reads, n_seeded)
+        except Exception as e:
+            extras["seeded"] = {"error": repr(e)}
+
+    emit(_headline(best, e2e, ref_rate, extras))
+    _STATE["done"] = True
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # a dead tunnel must still yield a parsed line
+        rec = _STATE["record"] or {
+            "metric": "dp_cells_per_s", "value": 0.0, "unit": "cells/s",
+            "vs_baseline": None, "extras": {}}
+        rec = dict(rec)
+        rec["extras"] = dict(rec.get("extras", {}), error=repr(e)[:300])
+        print(json.dumps(rec), flush=True)
+        _STATE["done"] = True

@@ -45,10 +45,20 @@ def _load_instances(fixture: str, n: int):
     return [reads] * n
 
 
+def _params(args):
+    """Run params; --seeded enables the minimizer-seeded windowed mode
+    (the reference's -S, ref src/abpoa.c -S flag)."""
+    from abpoa_tpu.params import Params
+    p = Params().post_set()
+    if args.seeded:
+        p.disable_seeding = 0
+        p.post_set()
+    return p
+
+
 def device_sweep(args):
     import jax
     from jax.sharding import Mesh
-    from abpoa_tpu.params import Params
     from abpoa_tpu.parallel import BatchPOA
 
     instances = _load_instances(args.fixture, args.instances)
@@ -58,10 +68,11 @@ def device_sweep(args):
     for nd in counts:
         mesh = Mesh(np.array(devs[:nd]), ("data",)) if nd > 1 else None
         # warm compile, then time
-        BatchPOA(Params().post_set(), mesh=mesh).run_consensus(instances)
-        bp = BatchPOA(Params().post_set(), mesh=mesh)
+        BatchPOA(_params(args), mesh=mesh).run_consensus(
+            instances, seeded=args.seeded)
+        bp = BatchPOA(_params(args), mesh=mesh)
         t0 = time.perf_counter()
-        bp.run_consensus(instances)
+        bp.run_consensus(instances, seeded=args.seeded)
         dt = time.perf_counter() - t0
         rate = args.instances / dt
         if base_rate is None:
@@ -81,7 +92,6 @@ def worker(args):
         # the JAX_PLATFORMS env var alone loses to a preset platform
         # plugin (the TPU tunnel); the config knob wins
         jax.config.update("jax_platforms", args.platform)
-    from abpoa_tpu.params import Params
     from abpoa_tpu.parallel import multihost as mh
 
     if args.num_processes > 1:
@@ -89,14 +99,14 @@ def worker(args):
                       num_processes=args.num_processes,
                       process_id=args.process_id)
     instances = _load_instances(args.fixture, args.instances)
-    params = Params().post_set()
     # warm compile (per process), then the timed run
-    mh.run_consensus_fasta(Params().post_set(), instances,
-                           engine=args.engine)
+    mh.run_consensus_fasta(_params(args), instances,
+                           engine=args.engine, seeded=args.seeded)
     stats = {}
     t0 = time.perf_counter()
-    out = mh.run_consensus_fasta(Params().post_set(), instances,
-                                 engine=args.engine, stats=stats)
+    out = mh.run_consensus_fasta(_params(args), instances,
+                                 engine=args.engine, stats=stats,
+                                 seeded=args.seeded)
     wall = time.perf_counter() - t0
     if jax.process_index() == 0 and args.out:
         pathlib.Path(args.out).write_text(out)
@@ -127,6 +137,8 @@ def hosts_launcher(args):
                "--coordinator", f"localhost:{port}",
                "--instances", str(args.instances),
                "--fixture", args.fixture, "--engine", args.engine]
+        if args.seeded:
+            cmd += ["--seeded"]
         if out:
             cmd += ["--out", out]
         return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
@@ -184,6 +196,8 @@ def main():
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--coordinator", default="localhost:17835")
+    ap.add_argument("--seeded", action="store_true",
+                    help="route through the seeded/windowed -S pipeline")
     ap.add_argument("--out", default=None,
                     help="host 0 writes the gathered consensus FASTA here")
     args = ap.parse_args()

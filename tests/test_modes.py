@@ -97,3 +97,25 @@ def test_pog_dot_golden(tmp_path):
         main([str(DATA / "seq.fa"), "-g", str(out)])
     got = (tmp_path / "pog.png.dot").read_text()
     assert got == (GOLDEN_SAN / "seq_pog.dot").read_text()
+
+
+def test_list_qv_batched_matches_serial(tmp_path):
+    """-l -Q --engine jax: qv weights flow through BatchPOA (round-2 gap:
+    the batched list mode silently fell back to the serial loop)."""
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join([str(DATA / "seq.fq")] * 4) + "\n")
+    serial = run_cli(["-Q", "-l", str(lst)])
+    batched = run_cli(["-Q", "-l", "--engine", "jax", str(lst)])
+    assert batched == serial
+
+
+def test_list_incr_batched_matches_serial(tmp_path):
+    """-l -i --engine jax: every batched instance restores the same
+    initial graph before its reads fuse, matching the serial loop."""
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join([str(DATA / "seq.fa")] * 4) + "\n")
+    incr = str(GOLDEN_SAN / "seq.gfa")
+    serial = run_cli(["-i", incr, "-l", str(lst), "-r3"])
+    batched = run_cli(["-i", incr, "-l", "--engine", "jax", str(lst),
+                       "-r3"])
+    assert batched == serial
