@@ -753,7 +753,7 @@ def make_band_kernel(cfg: BandConfig):
             # loop runs until every instance is done — amortizing the
             # per-iteration loop overhead G ways vs G serial loops
             (BS_I, BS_J, BS_LANE, BS_CUR, BS_IF, BS_NST, BS_FAIL,
-             BS_DONE) = range(8)
+             BS_DONE, BS_SB, BS_SI, BS_SL) = range(11)
             for g in range(G):
                 lane0 = bjs[g] - (bjs[g] // WB) * WB
                 done0 = (bis[g] <= 0) | (bjs[g] <= 0) | ovfls[g]
@@ -765,6 +765,20 @@ def make_band_kernel(cfg: BandConfig):
                 bts[g, BS_NST] = 0
                 bts[g, BS_FAIL] = 0
                 bts[g, BS_DONE] = done0.astype(jnp.int32)
+                bts[g, BS_SB] = 0
+                bts[g, BS_SI] = -1
+                bts[g, BS_SL] = -1
+
+            def fetch_bits(g, i, j, lane):
+                # one BTb lane: dynamic-row vector load + lane reduce,
+                # masked to the row's band window (outside -> no moves
+                # possible, matching the oracle's unreachable cells)
+                w = bsn_o[0, g, i]
+                lo_i = (w & H16) * pn
+                rowv = BTb[g, pl.ds(i, 1), :]
+                b = jnp.sum(jnp.where(iq == lane, rowv, 0))
+                inw = (j >= lo_i) & (j < lo_i + WB)
+                return jnp.where(inw, b, INVALID_BITS)
 
             def bt_step(g):
                 i = bts[g, BS_I]
@@ -773,12 +787,26 @@ def make_band_kernel(cfg: BandConfig):
                 cur_op = bts[g, BS_CUR]
                 if_ = bts[g, BS_IF] > 0
                 nst = bts[g, BS_NST]
-                w = bsn_o[0, g, i]
-                lo_i = (w & H16) * pn
-                rowv = BTb[g, pl.ds(i, 1), :]
-                b = jnp.sum(jnp.where(iq == lane, rowv, 0))
-                inw = (j >= lo_i) & (j < lo_i + WB)
-                b = jnp.where(inw, b, INVALID_BITS)
+                # speculative prefetch: ~85% of steps are the diagonal M
+                # (pred == i-1, j-1), so the previous iteration fetched
+                # (i-1, j-1)'s bits in parallel with its decode; on a hit
+                # the load->reduce->scalar latency is off the critical
+                # path. The BTb plane is static during the walk, so a
+                # speculated value always equals a fresh load (decoded
+                # steps are bit-identical either way).
+                hit = (bts[g, BS_SI] == i) & (bts[g, BS_SL] == lane)
+
+                @pl.when(jnp.logical_not(hit))
+                def _():
+                    bts[g, BS_SB] = fetch_bits(g, i, j, lane)
+                b = bts[g, BS_SB]
+                # issue the NEXT step's diagonal guess before decoding b
+                # (independent ops: the load runs under the decode)
+                sl = jnp.where(lane == 0, WB - 1, lane - 1)
+                bts[g, BS_SB] = fetch_bits(g, jnp.maximum(i - 1, 0),
+                                           j - 1, sl)
+                bts[g, BS_SI] = i - 1
+                bts[g, BS_SL] = sl
                 curM = cur_op & BT_M > 0
                 mp = b & 15
                 m_possible = mp < 15
@@ -1033,7 +1061,8 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
             pltpu.VMEM((9, G, WB), i32),  # bt pick accumulators
             pltpu.SMEM((G, R), i32),     # rms: per-row max-pos (pulled)
             pltpu.SMEM((G, 8), i32),     # per-instance sweep state
-            pltpu.SMEM((G, 8), i32),     # per-instance walker state
+            pltpu.SMEM((G, 12), i32),    # per-instance walker state
+            #                              (incl. speculative-fetch slots)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
