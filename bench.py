@@ -196,6 +196,53 @@ def _bench_kernel_rate(captured):
             "kernel_batch": nb}
 
 
+def _bench_transport(captured):
+    """Tunnel transport breakdown: RTT, uplink/downlink bandwidth, and
+    the bytes one POA round actually ships. Together with
+    kernel_cells_per_s this decomposes e2e into kernel + transport and
+    yields a projected rate for a directly-attached chip (no tunnel) —
+    the evidence that the residual vs_baseline gap is the transport
+    floor, not the kernel (docs/ROADMAP.md)."""
+    import jax
+    import jax.numpy as jnp
+    # RTT: round-trip a 4-byte scalar (min of 5: interference only adds)
+    one = np.zeros(1, np.int32)
+    jax.device_get(jax.device_put(one))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(jax.device_put(one))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+    # bandwidth: 8 MB payloads (large enough to amortize the RTT)
+    big = np.zeros(8 << 20, np.uint8)
+    ups, downs = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(big)
+        jax.device_get(dev[:1])          # force completion
+        ups.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(dev)
+        downs.append(time.perf_counter() - t0)
+    up_bw = big.nbytes / min(ups)
+    down_bw = big.nbytes / min(downs)
+    rec = {"tunnel_rtt_ms": round(rtt * 1e3, 2),
+           "uplink_mbps": round(up_bw / 1e6, 1),
+           "downlink_mbps": round(down_bw / 1e6, 1)}
+    if captured:
+        up_bytes = [sum(int(a.size * a.dtype.itemsize) for a in c[1])
+                    for c in captured]
+        rec["rounds_captured"] = len(captured)
+        rec["bytes_up_per_round"] = int(np.mean(up_bytes))
+        rec["bytes_up_total"] = int(np.sum(up_bytes))
+        # per-round transport floor: upload + RTT (downlink is the
+        # capped steps16/misc fetch, small next to the upload)
+        rec["transport_floor_ms_per_round"] = round(
+            (np.mean(up_bytes) / up_bw + rtt) * 1e3, 2)
+    return rec
+
+
 def _seeded_instances(reads, n: int):
     """Config-5-shaped workload: n seeded amplicon windows with VARIED
     read lengths (deterministic trims -> several (R, Wq) shape buckets,
@@ -253,8 +300,18 @@ def main():
           "extras": {"status": "provisional", "fixture": FIXTURE,
                      "instances": N_INSTANCES, "budget_s": BUDGET_S}})
 
-    # reference first: host-CPU subprocess, no device dependency
+    # reference first: host-CPU subprocess, no device dependency — and
+    # into the provisional record, so a dead device tunnel (the process
+    # would block at the first jax device touch until the watchdog
+    # fires) still leaves the reference evidence in the parsed line
     ref_wall = _reference_wall(FIXTURE)
+    if ref_wall is not None:
+        emit({"metric": "dp_cells_per_s", "value": 0.0, "unit": "cells/s",
+              "vs_baseline": None,
+              "extras": {"status": "provisional", "fixture": FIXTURE,
+                         "instances": N_INSTANCES, "budget_s": BUDGET_S,
+                         "ref_instances": ref_wall[0],
+                         "ref_wall_s": round(ref_wall[1], 3)}})
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -305,6 +362,31 @@ def main():
                 extras.update(kr)
         except Exception as e:  # never let an extra kill the headline
             extras["kernel_error"] = repr(e)
+        emit(_headline(best, e2e, ref_rate, extras))
+
+    if left() > 45:
+        try:
+            tr = _bench_transport(captured)
+            if tr:
+                extras["transport"] = tr
+                # projected rate on a directly-attached chip: replace
+                # the measured e2e with kernel time + host share (e2e
+                # minus device-busy minus transport floor is host work
+                # already overlapped by the pipeline; conservatively
+                # keep it): e2e - (transport floor x rounds)
+                if "transport_floor_ms_per_round" in tr and best.rounds:
+                    floor_s = (tr["transport_floor_ms_per_round"] / 1e3
+                               * best.rounds)
+                    proj = max(e2e - floor_s, best.dp_seconds)
+                    extras["projected_no_tunnel"] = {
+                        "e2e_seconds": round(proj, 4),
+                        "cells_per_s": round(best.dp_cells / proj, 1),
+                        "vs_baseline": (round(best.dp_cells / proj
+                                              / ref_rate, 4)
+                                        if ref_rate == ref_rate else None),
+                        "rounds": best.rounds}
+        except Exception as e:
+            extras["transport_error"] = repr(e)
         emit(_headline(best, e2e, ref_rate, extras))
     del captured
 
