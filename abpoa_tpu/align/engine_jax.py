@@ -336,6 +336,10 @@ def _backtrack_from_planes(graph, params, query, dg: DenseGraph,
         dg.pre_index = [dg.pre_idx[t, :dg.pre_n[t]].tolist()
                         for t in range(dg.n_rows)]
     ctx.pre_index = dg.pre_index
+    # flat bases-by-dp-row: the walk never touches graph.node (on the
+    # native store that property re-materializes the full Node snapshot
+    # once per fusion round — O(nodes) Python objects per window)
+    ctx.bases_row = dg.bases
     ctx.dp_beg = dp_beg
     ctx.dp_end = dp_end
     ctx.H, ctx.E1, ctx.E2, ctx.F1, ctx.F2 = H, E1, E2, F1, F2

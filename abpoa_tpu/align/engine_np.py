@@ -656,6 +656,19 @@ class _Ctx:
         res.node_s = int(g.index_to_node_id[start_i + self.beg_index])
         res.query_s = start_j - 1
 
+    # Row-indexed base lookup for the backtrack walk. Device-plane
+    # backtracks (engine_jax._backtrack_from_planes) set bases_row to the
+    # DenseGraph's flat bases-by-dp-row array so the walk never touches
+    # graph.node: on the native store that property re-materializes the
+    # full Node-view snapshot once per mutation version, i.e. once per
+    # fused window (O(nodes) Python objects per backtrack).
+    bases_row = None
+
+    def _row_base(self, i, nid):
+        if self.bases_row is not None:
+            return int(self.bases_row[i])
+        return self.g.node[nid].base
+
     def _in_band(self, pre_i, col):
         return self.dp_beg[pre_i] <= col <= self.dp_end[pre_i]
 
@@ -674,8 +687,9 @@ class _Ctx:
             if local and int(H[i][j]) == 0:
                 break
             start_i, start_j = i, j
-            s = int(mat[g.node[nid].base][self.query[j - 1]])
-            is_match = g.node[nid].base == self.query[j - 1]
+            base = self._row_base(i, nid)
+            s = int(mat[base][self.query[j - 1]])
+            is_match = base == self.query[j - 1]
             hit = False
             if (cur_op & M_OP) and not indel_first:
                 for pre_i in self.pre_index[i]:
@@ -800,8 +814,9 @@ class _Ctx:
             if local and int(H[i][j]) == 0:
                 break
             start_i, start_j = i, j
-            s = int(mat[g.node[nid].base][self.query[j - 1]])
-            is_match = g.node[nid].base == self.query[j - 1]
+            base = self._row_base(i, nid)
+            s = int(mat[base][self.query[j - 1]])
+            is_match = base == self.query[j - 1]
             hit = False
             if (cur_op & M_OP) and not indel_first:
                 for pre_i in self.pre_index[i]:
@@ -886,8 +901,9 @@ class _Ctx:
             if local and int(H[i][j]) == 0:
                 break
             start_i, start_j = i, j
-            s = int(mat[g.node[nid].base][self.query[j - 1]])
-            is_match = g.node[nid].base == self.query[j - 1]
+            base = self._row_base(i, nid)
+            s = int(mat[base][self.query[j - 1]])
+            is_match = base == self.query[j - 1]
             hit = False
             if not indel_first:
                 for pre_i in self.pre_index[i]:

@@ -43,7 +43,7 @@ def test_two_process_gather_matches_single(tmp_path):
            "--hosts", "2", "--cpu", "4",
            "--instances", str(N_INSTANCES), "--fixture", FIXTURE,
            "--out", str(out_fa)]
-    env = dict(os.environ)
+    env = dict(os.environ, ABPOA_SCALING_NO_WARM="1")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=420)
     assert r.returncode == 0, r.stdout + r.stderr
@@ -90,8 +90,8 @@ def test_two_process_seeded_gather_matches_single(tmp_path):
            "--hosts", "2", "--cpu", "4", "--seeded",
            "--instances", str(N_INSTANCES), "--fixture", FIXTURE,
            "--out", str(out_fa)]
-    r = subprocess.run(cmd, env=dict(os.environ), capture_output=True,
-                       text=True, timeout=420)
+    r = subprocess.run(cmd, env=dict(os.environ, ABPOA_SCALING_NO_WARM="1"),
+                       capture_output=True, text=True, timeout=420)
     assert r.returncode == 0, r.stdout + r.stderr
     lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
     assert lines[-1]["metric"] == "host_scaling_efficiency"
