@@ -705,15 +705,14 @@ class BatchPOA:
             return kern_fn
         import jax
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
         key = (cfg_key, tuple(d.id for d in self.mesh.devices.flat),
                tuple(self.mesh.axis_names), self.batch_axis, n_in)
         if key not in _MESH_KERN_CACHE:
-            _MESH_KERN_CACHE[key] = jax.jit(shard_map(
+            _MESH_KERN_CACHE[key] = jax.jit(jax.shard_map(
                 kern_fn, mesh=self.mesh,
                 in_specs=tuple(P(self.batch_axis)
                                for _ in range(n_in)),
-                out_specs=P(self.batch_axis), check_rep=False))
+                out_specs=P(self.batch_axis), check_vma=False))
         return _MESH_KERN_CACHE[key]
 
     # -------------------------------------------------------------- #
