@@ -102,6 +102,21 @@ def _host_pool():
 
 
 
+def _step_stream(pend, steps, b, nst, bi, bj):
+    """Instance b's decoded backtrack step stream. Handles the rare
+    over-cap case (long deletion runs) by refetching the full stream from
+    the device buffer kept alive in the pending handle — a blocking fetch
+    over the ~16 MB/s tunnel downlink, so callers defer this past any
+    early-out that never reads the steps."""
+    from ..ops import bt_xla
+    srow = steps[b]
+    if nst > srow.shape[0]:
+        import jax
+        srow = jax.device_get(pend["steps_dev"][b, :nst])
+    return (bt_xla.unpack_steps16(srow, nst, bi, bj)
+            if pend.get("band") else srow)
+
+
 def _pre_deltas(stacked_np, R, P):
     """Convert the stacked pre_idx stream (slot 2, int16 absolute) to
     uint8 deltas when every valid predecessor is within 255 rows — the
@@ -149,16 +164,24 @@ class BatchPOA:
         import jax.numpy as jnp
         from ..ops.dp_xla import banded_poa_dp_batch
         nb = int(batched.bases.shape[0])
+        ndev = (int(np.prod(list(self.mesh.shape.values())))
+                if self.mesh is not None else 1)
+        # bucket the batch dim: live-group sizes shrink as instances
+        # finish their reads, and every distinct B would be a fresh XLA
+        # trace/compile of banded_poa_dp_batch — pad to ndev x next-pow2
+        # (callers only read [:nb] / per-b slices, so trailing pad rows
+        # are dead weight, which is far cheaper than a recompile; a mesh
+        # shard additionally needs B % ndev == 0)
+        per = -(-nb // ndev)
+        BP = ndev * (1 << (per - 1).bit_length())
+        pad = BP - nb
+        if pad:
+            batched = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+                if getattr(x, "ndim", 0) else x, batched)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            ndev = int(np.prod(list(self.mesh.shape.values())))
-            pad = (-nb) % ndev
-            if pad:  # shard over the mesh needs B % ndev == 0
-                batched = jax.tree.map(
-                    lambda x: jnp.concatenate(
-                        [x, jnp.broadcast_to(x[:1],
-                                             (pad,) + x.shape[1:])])
-                    if getattr(x, "ndim", 0) else x, batched)
             sh = NamedSharding(self.mesh, P(self.batch_axis))
             batched = jax.device_put(batched,
                                      jax.tree.map(lambda _: sh, batched))
@@ -426,6 +449,21 @@ class BatchPOA:
                     break
         return abs_
 
+    def _ratchet_floors(self, pn, items):
+        """Ratcheting padded-shape floors per pn (shared by the Pallas
+        and XLA seeded dispatchers): padded dims only grow, bounding the
+        number of distinct compiled kernels. R starts at the query-scale
+        bucket (graphs grow to ~qlen rows, and the row sweep is bounded
+        by live rows, so padding R only costs plane memory — not a new
+        compile per growth step)."""
+        fl = self._seed_floors.setdefault(
+            pn, [min(_bucket(self._seed_wq_cap, 64), 4096), 256, 2, 2])
+        fl[0] = max(fl[0], max(d[4].R for d in items))
+        fl[1] = max(fl[1], max(d[4].W for d in items))
+        fl[2] = max(fl[2], max(d[4].P for d in items))
+        fl[3] = max(fl[3], max(d[4].O for d in items))
+        return tuple(fl)
+
     def _seeded_dispatch(self, batch):
         """Enqueue one shard-round of window-level device work; the
         worker thread owns upload, kernel and result fetch so the tunnel
@@ -450,18 +488,7 @@ class BatchPOA:
                  for i in range(0, len(items), CH)}
         pends = []
         for (pn, _chunk), items in by_pn.items():
-            # ratcheting shape floors per pn: the padded dims only grow,
-            # bounding the number of distinct compiled kernels. R starts
-            # at the query-scale bucket (graphs grow to ~qlen rows, and
-            # the row sweep is bounded by live rows, so padding R only
-            # costs plane memory — not a new compile per growth step)
-            fl = self._seed_floors.setdefault(
-                pn, [min(_bucket(self._seed_wq_cap, 64), 4096),
-                     256, 2, 2])
-            fl[0] = R = max(fl[0], max(d[4].R for d in items))
-            fl[1] = W = max(fl[1], max(d[4].W for d in items))
-            fl[2] = P_ = max(fl[2], max(d[4].P for d in items))
-            fl[3] = O_ = max(fl[3], max(d[4].O for d in items))
+            R, W, P_, O_ = self._ratchet_floors(pn, items)
             Wq = self._seed_wq_cap
             dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
             LMAX = (R + Wq + 63) // 64 * 64
@@ -566,15 +593,7 @@ class BatchPOA:
             by_pn.setdefault(item[4].pn, []).append(item)
         pends = []
         for pn, items in by_pn.items():
-            # same ratcheting shape floors as the Pallas path: padded
-            # dims only grow, bounding distinct compiled programs
-            fl = self._seed_floors.setdefault(
-                pn, [min(_bucket(self._seed_wq_cap, 64), 4096),
-                     256, 2, 2])
-            fl[0] = R = max(fl[0], max(d[4].R for d in items))
-            fl[1] = W = max(fl[1], max(d[4].W for d in items))
-            fl[2] = P_ = max(fl[2], max(d[4].P for d in items))
-            fl[3] = O_ = max(fl[3], max(d[4].O for d in items))
+            R, W, P_, O_ = self._ratchet_floors(pn, items)
             dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
             cfg, batched = _stack_inputs(dgs, params)
             out = self._device_call(cfg, batched)
@@ -657,14 +676,9 @@ class BatchPOA:
             res = AlignResult()
             res.best_score = int(misc[b, dpp.M_BEST])
             nst = int(misc[b, dpp.M_NSTEPS])
-            srow = steps[b]
-            if nst > srow.shape[0]:
-                import jax
-                srow = jax.device_get(pend["steps_dev"][b, :nst])
-            stp = (bt_xla.unpack_steps16(srow, nst,
-                                         int(misc[b, dpp.M_BI]),
-                                         int(misc[b, dpp.M_BJ]))
-                   if pend["band"] else srow)
+            stp = _step_stream(pend, steps, b, nst,
+                               int(misc[b, dpp.M_BI]),
+                               int(misc[b, dpp.M_BJ]))
             bt_xla.replay_steps(g, params, np.asarray(window),
                                 stp, nst,
                                 int(misc[b, dpp.M_BI]),
@@ -881,16 +895,12 @@ class BatchPOA:
             rid = self._rid(k, r)
             bad = bool(misc[b, dpp.M_OVFL] or misc[b, dpp.M_FAIL])
             nst = int(misc[b, dpp.M_NSTEPS])
-            srow = steps[b]
-            if nst > srow.shape[0]:
-                # rare over-cap path (long deletion runs): refetch this
-                # instance's full step stream from the device buffer
-                import jax
-                srow = jax.device_get(pend["steps_dev"][b, :nst])
-            stp = (bt_xla.unpack_steps16(srow, nst,
-                                         int(misc[b, dpp.M_BI]),
-                                         int(misc[b, dpp.M_BJ]))
-                   if pend.get("band") else srow)
+
+            def step_stream():
+                # deferred past the bad/amb early-outs (never read there)
+                return _step_stream(pend, steps, b, nst,
+                                    int(misc[b, dpp.M_BI]),
+                                    int(misc[b, dpp.M_BJ]))
             if params.amb_strand and (
                     bad or self._amb_flagged(ab, q,
                                              int(misc[b, dpp.M_BEST]))):
@@ -907,7 +917,7 @@ class BatchPOA:
             elif isinstance(ab.graph, NativeGraph) and not params.rev_cigar:
                 # native fast path: replay the step stream and fuse it in
                 # one C pass, no Python cigar materialization
-                ab.graph.fuse_steps(params, 0, stp, nst,
+                ab.graph.fuse_steps(params, 0, step_stream(), nst,
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDJ]), q, rid, True,
                                     weight=(None if self._weights is None
@@ -917,7 +927,7 @@ class BatchPOA:
                 res = AlignResult()
                 res.best_score = int(misc[b, dpp.M_BEST])
                 bt_xla.replay_steps(ab.graph, params, np.asarray(q),
-                                    stp, nst,
+                                    step_stream(), nst,
                                     int(misc[b, dpp.M_BI]),
                                     int(misc[b, dpp.M_BJ]),
                                     int(misc[b, dpp.M_ENDI]),
@@ -1031,6 +1041,16 @@ def batch_msa_from_files(params, fns, out):
             weights.append([
                 [ord(c) - 32 for c in r.qual] if r.qual
                 else [1] * len(r.seq) for r in recs])
+    # serial parity: msa() returns before restore/output on an empty seq
+    # list (api.py:196-198, ref abpoa_msa src/abpoa_align.c:373-437 via a
+    # 0-iteration read loop) — an empty input file must produce NO output
+    keep = [k for k, inst in enumerate(instances) if inst]
+    instances = [instances[k] for k in keep]
+    names = [names[k] for k in keep]
+    if weights is not None:
+        weights = [weights[k] for k in keep]
+    if not instances:
+        return
     init = None
     if params.incr_fn:
         from ..gfa import restore_graph

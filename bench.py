@@ -63,11 +63,16 @@ def left() -> float:
 # headline record: re-emitted after every phase; the watchdog re-prints
 # the latest one at the deadline so the last stdout line always parses
 _STATE: dict = {"record": None, "done": False}
+# single-writer discipline for stdout: the watchdog can fire while the
+# main thread is mid-print, and an interleaved write would corrupt the
+# "last line always parses" contract exactly in the degraded-tunnel case
+_EMIT_LOCK = threading.Lock()
 
 
 def emit(record: dict) -> None:
     _STATE["record"] = record
-    print(json.dumps(record), flush=True)
+    with _EMIT_LOCK:
+        print(json.dumps(record), flush=True)
 
 
 def _watchdog() -> None:
@@ -81,7 +86,15 @@ def _watchdog() -> None:
             rec = dict(rec)
             rec.setdefault("extras", {})
             rec["extras"] = dict(rec["extras"], budget_exhausted=True)
-            print(json.dumps(rec), flush=True)
+            # bounded acquire: exit must not hinge on a wedged main
+            # thread (a dead device call never holds the lock, but a
+            # blocked stdout write could)
+            got = _EMIT_LOCK.acquire(timeout=10.0)
+            try:
+                print("\n" + json.dumps(rec), flush=True)
+            finally:
+                if got:
+                    _EMIT_LOCK.release()
             os._exit(0)
         time.sleep(1.0)
 
@@ -118,14 +131,16 @@ def _reference_wall(fixture: str):
     return n, min(dts)
 
 
-def _reference_cells_per_s(ref_wall, fixture, cells_per_instance):
+def _reference_cells_per_s(ref_wall, fixture, cells_per_instance,
+                           update=False):
     if ref_wall is not None:
         n, dt = ref_wall
         rate = n * cells_per_instance / dt
         # the committed baseline stays stable: a live measurement only
         # replaces it behind an explicit opt-in (a noisy run on a loaded
-        # host must not silently rewrite the denominator)
-        if os.environ.get("ABPOA_UPDATE_BASELINE") == "1":
+        # host must not silently rewrite the denominator), and only once
+        # per run — after the reps loop settles on the best cpi
+        if update and os.environ.get("ABPOA_UPDATE_BASELINE") == "1":
             data = {}
             if BASELINE_FILE.exists():
                 data = json.loads(BASELINE_FILE.read_text())
@@ -262,6 +277,10 @@ def _bench_seeded(reads, n: int):
     params = Params().post_set()
     params.disable_seeding = 0
     params.post_set()
+    if left() < 100:
+        # the warm-up alone can eat the residual budget on a degraded
+        # tunnel — skip the whole phase rather than warm-then-bail
+        return {"skipped": "budget"}
     warm = BatchPOA(Params().post_set())
     warm.params.disable_seeding = 0
     warm.params.post_set()
@@ -349,6 +368,8 @@ def main():
         emit(_headline(best, e2e, ref_rate, {"reps": len(reps)}))
         if time.monotonic() - T_START > 0.5 * BUDGET_S:
             break
+    # one-shot opt-in baseline update from the settled best rep
+    _reference_cells_per_s(ref_wall, FIXTURE, cpi, update=True)
     extras = {"reps": len(reps),
               "e2e_seconds_median": round(
                   sorted(r[0] for r in reps)[len(reps) // 2], 4),
@@ -424,10 +445,15 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # a dead tunnel must still yield a parsed line
+        import traceback
         rec = _STATE["record"] or {
             "metric": "dp_cells_per_s", "value": 0.0, "unit": "cells/s",
             "vs_baseline": None, "extras": {}}
         rec = dict(rec)
-        rec["extras"] = dict(rec.get("extras", {}), error=repr(e)[:300])
-        print(json.dumps(rec), flush=True)
+        tb = traceback.format_exc().splitlines()
+        rec["extras"] = dict(rec.get("extras", {}), error=repr(e)[:300],
+                             error_at=tb[-3].strip()[:200]
+                             if len(tb) >= 3 else "")
+        with _EMIT_LOCK:
+            print(json.dumps(rec), flush=True)
         _STATE["done"] = True

@@ -119,3 +119,22 @@ def test_list_incr_batched_matches_serial(tmp_path):
     batched = run_cli(["-i", incr, "-l", "--engine", "jax", str(lst),
                        "-r3"])
     assert batched == serial
+
+
+def test_list_empty_file_batched_matches_serial(tmp_path):
+    """-l with an empty FASTA in the list: serial msa() returns before
+    any output for that file (api.py msa early-return; ref abpoa_msa
+    src/abpoa_align.c:373-437 via a 0-read loop) — the batched mode must
+    skip it identically instead of emitting a restored/empty graph."""
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join([str(DATA / "seq.fa"), str(empty),
+                              str(DATA / "seq.fa")]) + "\n")
+    serial = run_cli(["-l", str(lst)])
+    batched = run_cli(["-l", "--engine", "jax", str(lst)])
+    assert batched == serial
+    incr = str(GOLDEN_SAN / "seq.gfa")
+    serial_i = run_cli(["-i", incr, "-l", str(lst)])
+    batched_i = run_cli(["-i", incr, "-l", "--engine", "jax", str(lst)])
+    assert batched_i == serial_i
