@@ -194,6 +194,16 @@ class _Ctx:
                     self.pre_index[dp_i].append(pidx - beg_index)
         self.best_score = int(inf_min)
         self.best_i = 0; self.best_j = 0; self.best_id = 0
+        # scratch (hot-loop allocation diet; contents never outlive a call)
+        self._fbuf1 = np.empty(self.pn, dtype=it)
+        self._fbuf2 = np.empty(self.pn, dtype=it)
+        self._f2d = np.empty((2, self.pn), dtype=it)
+        self._e12S = np.stack([self.e1S, self.e2S])
+        self._mbuf = np.empty(width, dtype=it)
+        # per-column query indices, -1 past qlen (only segment qlen//pn
+        # can hold masked lanes; rows never extend past it)
+        self._qi_all = np.arange(width, dtype=np.int64)
+        self._qi_all[self._qi_all > qlen] = -1
 
     # -------------------------------------------------------------- #
     def _ad_beg(self, node_id: int) -> int:
@@ -312,7 +322,7 @@ class _Ctx:
                     dst[(_end_sn + 1) * pn:(cap + 1) * pn] = self.inf_min
         if _end_sn >= _beg_sn:
             lo, hi = _beg_sn * pn, (_end_sn + 1) * pn
-            cand = np.empty(hi - lo, dtype=self.it)
+            cand = self._mbuf[:hi - lo]  # fully written before any read
             cand[1:] = pre_H[lo:hi - 1]
             if local:
                 cand[0] = 0
@@ -361,11 +371,38 @@ class _Ctx:
             hi = pn - 1 if set_num == pn else min(cov_bit, pn - 1)
             # cand lanes outside [d, hi] are exactly inf_min (PRE_MIN/SUF_MIN
             # OR patterns); the unmasked SIMDMax therefore LIFTS any F lane
-            # sitting below inf_min — semantics leak, must replicate.
-            cand = np.full(pn, inf, dtype=F.dtype)
+            # sitting below inf_min — semantics leak, must replicate
+            # (hence the max-with-inf on the complement ranges below).
             if hi >= d:
-                cand[d:hi + 1] = F[0:hi + 1 - d] - eS[t]
-            np.maximum(F, cand, out=F)
+                shifted = F[0:hi + 1 - d] - eS[t]  # pre-update F (copy)
+                np.maximum(F[d:hi + 1], shifted, out=F[d:hi + 1])
+                np.maximum(F[:d], inf, out=F[:d])
+                if hi + 1 < pn:
+                    np.maximum(F[hi + 1:], inf, out=F[hi + 1:])
+            else:
+                np.maximum(F, inf, out=F)
+
+    def _set_f2(self, F2d: np.ndarray, set_num: int, e12S: np.ndarray):
+        """_set_f on [2, pn] stacked (F1;F2) lanes with per-row eS — one
+        set of numpy calls instead of two (the convex row runs this per
+        segment, the hottest loop of the oracle)."""
+        pn = self.pn
+        inf = self.inf_min
+        cov_bit = set_num
+        for t in range(self.log_n):
+            d = 1 << t
+            if t > 0:
+                cov_bit += d
+            hi = pn - 1 if set_num == pn else min(cov_bit, pn - 1)
+            if hi >= d:
+                shifted = F2d[:, 0:hi + 1 - d] - e12S[:, t:t + 1]
+                np.maximum(F2d[:, d:hi + 1], shifted,
+                           out=F2d[:, d:hi + 1])
+                np.maximum(F2d[:, :d], inf, out=F2d[:, :d])
+                if hi + 1 < pn:
+                    np.maximum(F2d[:, hi + 1:], inf, out=F2d[:, hi + 1:])
+            else:
+                np.maximum(F2d, inf, out=F2d)
 
     def _max_in_row(self, Hrow, beg_sn, end_sn):
         """row max + argmax with reference blend semantics (ref :1043-1057).
@@ -375,19 +412,23 @@ class _Ctx:
         lowest-lane-first with strict greater.
         """
         pn = self.pn
-        a = Hrow[end_sn * pn:(end_sn + 1) * pn].copy()
-        qi = np.arange(end_sn * pn, (end_sn + 1) * pn, dtype=np.int64)
-        qi[qi > self.qlen] = -1
+        # visit order [end_sn, beg_sn, beg_sn+1, ...] with replace-on-
+        # strict-greater == first occurrence of the lane max in that order
+        # (np.argmax's tie rule); qi masking only affects segment qlen//pn
+        # (rows never extend past it), matching the reference blends
+        n_seg = end_sn - beg_sn + 1
+        order = np.empty(n_seg, dtype=np.int64)
+        order[0] = end_sn
+        if n_seg > 1:
+            order[1:] = np.arange(beg_sn, end_sn)
+        M = Hrow[:(end_sn + 1) * pn].reshape(-1, pn)[order]
         if end_sn == self.qlen // pn:
-            a[qi < 0] = self.inf_min
-        b = qi.copy()
-        for s in range(beg_sn, end_sn):
-            seg = Hrow[s * pn:(s + 1) * pn]
-            sqi = np.arange(s * pn, (s + 1) * pn, dtype=np.int64)
-            sqi[sqi > self.qlen] = -1
-            gt = seg > a
-            a = np.where(gt, seg, a)
-            b = np.where(gt, sqi, b)
+            M[0][self._qi_all[end_sn * pn:(end_sn + 1) * pn] < 0] = \
+                self.inf_min
+        k = np.argmax(M, axis=0)
+        lanes = np.arange(pn)
+        a = M[k, lanes]
+        b = self._qi_all[order[k] * pn + lanes]
         max_v = int(self.inf_min); max_i = -1
         for lane in range(pn):
             if int(a[lane]) > max_v:
@@ -503,11 +544,13 @@ class _Ctx:
             h = H[s0:s1]
             np.maximum(h, E1[s0:s1], out=h)
             np.maximum(h, E2[s0:s1], out=h)
-            f1 = np.empty(pn, dtype=it); f2 = np.empty(pn, dtype=it)
-            f1[0] = it(first1 - self.oe1); f1[1:] = h[:-1] - self.oe1
-            f2[0] = it(first2 - self.oe2); f2[1:] = h[:-1] - self.oe2
-            self._set_f(f1, set_num, self.e1S)
-            self._set_f(f2, set_num, self.e2S)
+            f2d = self._f2d  # copied out via F[s0:s1]=; rows (f1; f2)
+            f1 = f2d[0]; f2 = f2d[1]
+            f1[0] = it(first1 - self.oe1)
+            np.subtract(h[:-1], self.oe1, out=f1[1:])
+            f2[0] = it(first2 - self.oe2)
+            np.subtract(h[:-1], self.oe2, out=f2[1:])
+            self._set_f2(f2d, set_num, self._e12S)
             first1 = max(h[-1], it(f1[-1] + self.o1))
             first2 = max(h[-1], it(f2[-1] + self.o2))
             F1[s0:s1] = f1; F2[s0:s1] = f2
@@ -549,7 +592,7 @@ class _Ctx:
                 set_num = pn
             s0, s1 = sn_i * pn, (sn_i + 1) * pn
             h = H[s0:s1]
-            f1 = np.empty(pn, dtype=it)
+            f1 = self._fbuf1  # copied out via F1[s0:s1]=
             f1[0] = it(first1 - self.oe1); f1[1:] = h[:-1] - self.oe1
             self._set_f(f1, set_num, self.e1S)
             first1 = max(h[-1], it(f1[-1] + self.o1))
@@ -597,7 +640,7 @@ class _Ctx:
                         H[(_end_sn + 1) * pn:(cap + 1) * pn] = self.inf_min
             if _end_sn >= _beg_sn:
                 lo, hi = _beg_sn * pn, (_end_sn + 1) * pn
-                cand = np.empty(hi - lo, dtype=it)
+                cand = self._mbuf[:hi - lo]  # fully written before read
                 cand[1:] = pre_H[lo:hi - 1]
                 if local:
                     cand[0] = 0
