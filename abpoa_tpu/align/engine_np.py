@@ -24,13 +24,26 @@ The vector quirks that leak into scores (and therefore into output bytes):
 """
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
 
 import numpy as np
 
 from ..params import (GLOBAL_MODE, LOCAL_MODE, EXTEND_MODE,
                       LINEAR_GAP, AFFINE_GAP, CONVEX_GAP)
 from .. import cigar as cg
+
+
+def _dprow_lib():
+    """Native row kernels (dprow.c) — same semantics as the numpy row
+    methods below, scalar C instead of numpy-call overhead on pn-lane
+    segments. ABPOA_NO_NATIVE=1 (or a failed build) keeps the numpy
+    path, which stays the canonical readable oracle."""
+    if os.environ.get("ABPOA_NO_NATIVE"):
+        return None
+    from ..native import get_lib
+    return get_lib()
 
 INT16_MAX = 32767
 INT16_MIN = -32768
@@ -204,6 +217,44 @@ class _Ctx:
         # can hold masked lanes; rows never extend past it)
         self._qi_all = np.arange(width, dtype=np.int64)
         self._qi_all[self._qi_all > qlen] = -1
+        # native row kernel (dprow.c) argument block
+        self._clib = _dprow_lib()
+        if self._clib is not None:
+            ln = self.log_n
+            prm = np.empty(16 + 2 * ln, dtype=np.int64)
+            prm[0] = self.pn; prm[1] = ln; prm[2] = self.dp_sn
+            prm[3] = qlen; prm[4] = width
+            prm[5] = self.H.strides[0] // self.H.itemsize
+            prm[6] = 1 if params.align_mode == LOCAL_MODE else 0
+            prm[7] = 1 if params.wb < 0 else 0
+            prm[8] = {LINEAR_GAP: 0, AFFINE_GAP: 1, CONVEX_GAP: 2}[gm]
+            prm[9] = int(self.inf_min)
+            prm[10] = int(self.oe1); prm[11] = int(self.oe2)
+            prm[12] = int(self.e1); prm[13] = int(self.e2)
+            prm[14] = int(self.o1); prm[15] = int(self.o2)
+            prm[16:16 + ln] = self.e1S
+            prm[16 + ln:] = self.e2S
+            self._prm = prm  # keep alive: _cargs holds raw pointers
+            off = np.zeros(self.n_rows + 1, dtype=np.int64)
+            for i, ps in enumerate(self.pre_index):
+                off[i + 1] = off[i] + len(ps)
+            flat = np.empty(int(off[-1]), dtype=np.int32)
+            for i, ps in enumerate(self.pre_index):
+                flat[off[i]:off[i + 1]] = ps
+            self._pre_flat = flat
+            self._pre_off = off
+            z = self.H
+            self._cargs = (
+                prm.ctypes.data, self.H.ctypes.data,
+                (self.E1 if self.E1 is not None else z).ctypes.data,
+                (self.E2 if self.E2 is not None else z).ctypes.data,
+                (self.F1 if self.F1 is not None else z).ctypes.data,
+                (self.F2 if self.F2 is not None else z).ctypes.data,
+                self.qp.ctypes.data,
+                self.dp_beg.ctypes.data, self.dp_end.ctypes.data,
+                self.dp_beg_sn.ctypes.data, self.dp_end_sn.ctypes.data)
+            self._row_stride_bytes = int(self.H.strides[0])
+            self._maxi_out = ctypes.c_longlong()
 
     # -------------------------------------------------------------- #
     def _ad_beg(self, node_id: int) -> int:
@@ -435,6 +486,16 @@ class _Ctx:
                 max_v = int(a[lane]); max_i = int(b[lane])
         return max_v, max_i
 
+    def _max_row(self, dp_i: int, beg_sn: int, end_sn: int):
+        """_max_in_row through the native kernel when available."""
+        if self._clib is not None:
+            v = self._clib.np_max_in_row(
+                self.H.ctypes.data + dp_i * self._row_stride_bytes,
+                beg_sn, end_sn, self.pn, self.qlen, int(self.inf_min),
+                self.bits, ctypes.byref(self._maxi_out))
+            return int(v), int(self._maxi_out.value)
+        return self._max_in_row(self.H[dp_i], beg_sn, end_sn)
+
     def _ada_max_i(self, max_i: int, node_id: int):
         """adaptive band propagation to successors (ref :1274-1282)."""
         g = self.g
@@ -452,12 +513,23 @@ class _Ctx:
         local = p.align_mode == LOCAL_MODE
         self._first_row()
         g = self.g
+        clib = self._clib
+        wb_neg = p.wb < 0
         for index_i in range(self.beg_index + 1, self.end_index):
             if not self.index_map[index_i]:
                 continue
             dp_i = index_i - self.beg_index
             node_id = int(g.index_to_node_id[index_i])
-            if gm == LINEAR_GAP:
+            if clib is not None:
+                ad_b = 0 if wb_neg else self._ad_beg(node_id)
+                ad_e = 0 if wb_neg else self._ad_end(node_id)
+                o = int(self._pre_off[dp_i])
+                clib.np_dp_row(
+                    *self._cargs,
+                    self._pre_flat.ctypes.data + o * 4,
+                    int(self._pre_off[dp_i + 1]) - o,
+                    dp_i, ad_b, ad_e, g.node[node_id].base, self.bits)
+            elif gm == LINEAR_GAP:
                 self._row_lg(dp_i, node_id, local)
             elif gm == AFFINE_GAP:
                 self._row_ag(dp_i, node_id, local)
@@ -466,11 +538,11 @@ class _Ctx:
             beg_sn = int(self.dp_beg_sn[dp_i]); end_sn = int(self.dp_end_sn[dp_i])
             mi = None
             if p.align_mode == LOCAL_MODE:
-                mx, mi = self._max_in_row(self.H[dp_i], beg_sn, end_sn)
+                mx, mi = self._max_row(dp_i, beg_sn, end_sn)
                 if mx > self.best_score:
                     self.best_score, self.best_i, self.best_j = mx, dp_i, mi
             elif p.align_mode == EXTEND_MODE:
-                mx, mi = self._max_in_row(self.H[dp_i], beg_sn, end_sn)
+                mx, mi = self._max_row(dp_i, beg_sn, end_sn)
                 if mx > self.best_score:
                     self.best_score, self.best_i, self.best_j = mx, dp_i, mi
                     self.best_id = node_id
@@ -482,7 +554,7 @@ class _Ctx:
                         break
             if p.wb >= 0:
                 if p.align_mode == GLOBAL_MODE:
-                    _, mi = self._max_in_row(self.H[dp_i], beg_sn, end_sn)
+                    _, mi = self._max_row(dp_i, beg_sn, end_sn)
                 self._ada_max_i(mi, node_id)
         if p.align_mode == GLOBAL_MODE:
             self._global_get_max()

@@ -210,21 +210,16 @@ def main(argv=None) -> int:
         return 1
     params.post_set()
     t0 = time.time()
-    ab = ABPOA()
-    if in_list:
-        with open(pos[0]) as fp:
-            fns = [line.strip() for line in fp if line.strip()]
-        # device list mode: batch one POA instance per file across the
-        # chip (the reference runs list entries serially); qv weights and
-        # incremental -i instances batch too (ref abpoa.c:135-143)
-        if params.engine == "jax" and len(fns) >= 4:
-            from .parallel.batch import batch_msa_from_files
-            batch_msa_from_files(params, fns, out)
-        else:
-            for fn in fns:
-                ab.msa_from_file(params, fn, out=out)
-    else:
-        ab.msa_from_file(params, pos[0], out=out)
+    try:
+        _run(params, in_list, pos, out)
+    except RuntimeError as e:
+        # fatal-path parity: the reference err_fatals to stderr and exits 1
+        # on invariant violations (e.g. backtrack dead ends,
+        # ref src/simd_abpoa_align.c:419, src/utils.c:91-123)
+        print(f"[abpoa_tpu] {e}", file=sys.stderr)
+        if out is not sys.stdout:
+            out.close()
+        return 1
     # end-of-run telemetry line (ref src/abpoa.c:146, src/utils.c:339-371)
     try:
         import resource
@@ -240,6 +235,24 @@ def main(argv=None) -> int:
     if out is not sys.stdout:
         out.close()
     return 0
+
+
+def _run(params, in_list, pos, out):
+    ab = ABPOA()
+    if in_list:
+        with open(pos[0]) as fp:
+            fns = [line.strip() for line in fp if line.strip()]
+        # device list mode: batch one POA instance per file across the
+        # chip (the reference runs list entries serially); qv weights and
+        # incremental -i instances batch too (ref abpoa.c:135-143)
+        if params.engine == "jax" and len(fns) >= 4:
+            from .parallel.batch import batch_msa_from_files
+            batch_msa_from_files(params, fns, out)
+        else:
+            for fn in fns:
+                ab.msa_from_file(params, fn, out=out)
+    else:
+        ab.msa_from_file(params, pos[0], out=out)
 
 
 if __name__ == "__main__":

@@ -19,7 +19,9 @@ import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SO = _DIR / "_hostgraph.so"
-_SRCS = [_DIR / "hostgraph.c", _DIR / "poagraph.c", _DIR / "seedchain.c"]
+_SRCS = [_DIR / "hostgraph.c", _DIR / "poagraph.c", _DIR / "seedchain.c",
+         _DIR / "dprow.c"]
+_INCS = [_DIR / "dprow_impl.inc"]
 
 _lib = None
 
@@ -33,8 +35,10 @@ def _build():
     # dlopen a half-written library
     cc = os.environ.get("CC", "cc")
     tmp = _SO.with_suffix(f".tmp.{os.getpid()}.so")
-    subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", str(tmp)]
-                   + [str(s) for s in _SRCS], check=True,
+    # -fwrapv: the DP row kernels rely on int16/int32 wraparound
+    # matching numpy's (dtype arithmetic wraps; see dprow.c)
+    subprocess.run([cc, "-O2", "-fwrapv", "-shared", "-fPIC", "-o",
+                    str(tmp)] + [str(s) for s in _SRCS], check=True,
                    capture_output=True)
     os.replace(tmp, _SO)
 
@@ -50,7 +54,7 @@ def get_lib():
     try:
         if (not _SO.exists()
                 or any(_SO.stat().st_mtime < s.stat().st_mtime
-                       for s in _SRCS)):
+                       for s in _SRCS + _INCS)):
             _build()
         lib = ctypes.CDLL(str(_SO))
         for name, nargs in (("topo_sort", 7), ("set_remain", 7),
@@ -102,6 +106,15 @@ def get_lib():
             "sc_dp_chaining": (ctypes.c_int64,
                                [_vp, ctypes.c_int64, _i32, _i32, _i32,
                                 _i32, _vp]),
+            # oracle DP row kernels (dprow.c)
+            "np_dp_row": (ctypes.c_int,
+                          [_vp] * 7 + [_vp] * 4
+                          + [_vp, _i32, ctypes.c_int64, ctypes.c_int64,
+                             ctypes.c_int64, _i32, _i32]),
+            "np_max_in_row": (ctypes.c_int64,
+                              [_vp, ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_int64, _i32, _vp]),
         }
         for name, (res, args) in sigs.items():
             fn = getattr(lib, name)

@@ -1,0 +1,64 @@
+/* Oracle DP row kernels: C implementation of engine_np.py's per-row
+ * hot path (band snap, predecessor merges, masked F scan, row max).
+ *
+ * The numpy oracle spends its time in numpy-call overhead on tiny
+ * pn-lane segments; these kernels run the same semantics (bit-exact,
+ * including int16/int32 wraparound — compiled with -fwrapv) as plain
+ * scalar loops. engine_np dispatches here when the native library
+ * loads (ABPOA_NO_NATIVE=1 forces the numpy path).
+ *
+ * prm (int64[16 + 2*log_n]):
+ *   0 pn     1 log_n  2 dp_sn   3 qlen   4 width  5 row_stride(elems)
+ *   6 local  7 wb<0   8 gap_mode(0 lg, 1 ag, 2 cg)
+ *   9 inf_min  10 oe1  11 oe2  12 e1  13 e2  14 o1  15 o2
+ *   16..16+log_n-1 e1S, then e2S  (dtype-wrapped gap-ext doubling)
+ *
+ * Plane pointers are the BASE of the [n_rows, width] dtype view; rows
+ * sit row_stride elements apart (the arena interleaves planes).
+ * Reference row semantics: /root/reference/src/simd_abpoa_align.c
+ * :701-1010 (rows), :664-699 (SIMD_SET_F), :1043-1057 (row max).
+ */
+#include <stdint.h>
+
+#define DPROW_MAXPN 64
+
+#define T int16_t
+#define FN(name) dprow_##name##_16
+#include "dprow_impl.inc"
+#undef T
+#undef FN
+
+#define T int32_t
+#define FN(name) dprow_##name##_32
+#include "dprow_impl.inc"
+#undef T
+#undef FN
+
+int np_dp_row(const long long *prm, void *H, void *E1, void *E2,
+              void *F1, void *F2, const void *qp,
+              long long *dp_beg, long long *dp_end,
+              long long *dp_beg_sn, long long *dp_end_sn,
+              const int *pres, int n_pre, long long dp_i,
+              long long ad_beg, long long ad_end, int base, int bits) {
+    if (bits == 16)
+        dprow_row_16(prm, (char *)H, (char *)E1, (char *)E2, (char *)F1,
+                     (char *)F2, (const char *)qp, dp_beg, dp_end,
+                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, ad_beg,
+                     ad_end, base);
+    else
+        dprow_row_32(prm, (char *)H, (char *)E1, (char *)E2, (char *)F1,
+                     (char *)F2, (const char *)qp, dp_beg, dp_end,
+                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, ad_beg,
+                     ad_end, base);
+    return 0;
+}
+
+long long np_max_in_row(const void *Hrow, long long beg_sn,
+                        long long end_sn, long long pn, long long qlen,
+                        long long inf_min, int bits, long long *out_i) {
+    if (bits == 16)
+        return dprow_max_in_row_16((const int16_t *)Hrow, beg_sn, end_sn,
+                                   pn, qlen, (int16_t)inf_min, out_i);
+    return dprow_max_in_row_32((const int32_t *)Hrow, beg_sn, end_sn,
+                               pn, qlen, (int32_t)inf_min, out_i);
+}

@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Differential fuzzer: byte-compare the CLI against the sanitized
+reference binary on randomized inputs x randomized flag combinations.
+
+Each seed deterministically generates one case: a read set (mutated
+copies of a random ancestor — or of two haplotypes when multi-consensus
+is drawn) plus a flag vector sampled over the full CLI surface
+(modes x gap models x banding x outputs x seeding x qv x aa).
+Both sides run on the same input file; stdout must match byte for byte.
+
+Reference side: `.refbuild/bin/abpoa` (the sanitized build, see
+docs/REFERENCE_UB.md) with CANARY_BYTE=0x00 — the reference's defined
+semantics. Build it with tests/golden/make_sanitized_ref.sh.
+
+Campaign:  python tools/fuzz_ref.py --n 500 [--start 0] [--keep-going]
+Failures save a self-contained repro under /tmp/abpoa_fuzz/<seed>/.
+
+The pytest suite runs a fixed-seed subset (tests/test_fuzz_ref.py).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import contextlib
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+REF_BIN = REPO / ".refbuild" / "bin" / "abpoa"
+
+NT = "ACGT"
+AA = "ARNDCQEGHILKMFPSTWYVBZX"  # 23 of the 26-letter aa alphabet
+RC = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+# ------------------------------------------------------------------ #
+def _mutate(rng, seq: str, alpha: str, sub_p: float, ind_p: float) -> str:
+    out = []
+    i = 0
+    n = len(seq)
+    while i < n:
+        r = rng.random()
+        if r < ind_p / 2:                      # deletion
+            i += 1
+            continue
+        if r < ind_p:                          # insertion
+            out.append(alpha[rng.integers(len(alpha))])
+            continue                           # retry same position
+        c = seq[i]
+        if rng.random() < sub_p:
+            c = alpha[rng.integers(len(alpha))]
+        out.append(c)
+        i += 1
+    return "".join(out) or alpha[0]
+
+
+def gen_case(seed: int):
+    """-> (fasta_text, is_fastq, args:list[str], descr:str)"""
+    rng = np.random.default_rng(seed)
+    is_aa = rng.random() < 0.15
+    alpha = AA if is_aa else NT
+    L = int(rng.integers(15, 401))
+    n_reads = int(rng.integers(1, 13))
+    sub_p = float(rng.choice([0.0, 0.02, 0.05, 0.1, 0.2]))
+    ind_p = float(rng.choice([0.0, 0.01, 0.03, 0.08]))
+    anc = "".join(alpha[k] for k in rng.integers(0, len(alpha), L))
+
+    args: list[str] = []
+    descr = ["aa" if is_aa else "nt", f"L={L}", f"n={n_reads}"]
+    if is_aa:
+        args += ["-c"]
+
+    # alignment mode (weight global: seeding/most outputs live there)
+    m = int(rng.choice([0, 0, 0, 1, 2]))
+    if m:
+        args += ["-m", str(m)]
+        descr.append(f"m={m}")
+    if m == 2 and rng.random() < 0.5:
+        args += ["-z", str(int(rng.integers(20, 200)))]
+    if m == 2 and rng.random() < 0.5:
+        args += ["-e", str(int(rng.integers(0, 20)))]
+
+    # scores: matrix file or -M/-X
+    if rng.random() < 0.2:
+        args += ["-t", str(REPO / ("BLOSUM62.mtx" if is_aa
+                                   else "HOXD70.mtx"))]
+    elif rng.random() < 0.3:
+        args += ["-M", str(int(rng.integers(1, 6))),
+                 "-X", str(int(rng.integers(1, 9)))]
+
+    # gap model: convex / affine / linear
+    gm = rng.choice(["convex", "affine", "linear", "default"])
+    if gm == "affine":
+        args += ["-O", f"{int(rng.integers(1, 9))},0",
+                 "-E", str(int(rng.integers(1, 5)))]
+    elif gm == "linear":
+        args += ["-O", "0", "-E", str(int(rng.integers(1, 5)))]
+    elif gm == "convex":
+        o1 = int(rng.integers(1, 9))
+        args += ["-O", f"{o1},{o1 + int(rng.integers(1, 30))}",
+                 "-E", f"{int(rng.integers(2, 5))},1"]
+    descr.append(gm)
+
+    # banding
+    b = int(rng.choice([-1, 0, 1, 5, 10]))
+    if b != 10:
+        args += ["-b", str(b)]
+    if rng.random() < 0.4:
+        args += ["-f", str(rng.choice([0.0, 0.05, 0.2]))]
+
+    # multi-consensus
+    d = int(rng.choice([1, 1, 1, 2, 2, 3]))
+    if d > 1:
+        args += ["-d", str(d)]
+        if rng.random() < 0.5:
+            args += ["-q", str(rng.choice([0.1, 0.25, 0.3]))]
+
+    # output mode
+    r = int(rng.integers(0, 6))
+    if r:
+        args += ["-r", str(r)]
+    descr.append(f"r={r}")
+
+    # amb_strand (nt only — rc of aa is meaningless upstream too)
+    amb = (not is_aa) and rng.random() < 0.25
+    if amb:
+        args += ["-s"]
+
+    # seeding (global mode only; force small windows so it really fires)
+    if m == 0 and rng.random() < 0.3:
+        args += ["-S"]
+        args += ["-k", str(int(rng.choice([3, 5, 7] if is_aa
+                                          else [5, 9, 13, 19])))]
+        args += ["-w", str(int(rng.choice([3, 5, 10])))]
+        args += ["-n", str(int(rng.choice([10, 30, 100, 500])))]
+        if rng.random() < 0.5:
+            args += ["-p"]
+        descr.append("S")
+
+    # FASTQ + qv weights
+    is_fastq = (not is_aa) and rng.random() < 0.3
+    if is_fastq and rng.random() < 0.7:
+        args += ["-Q"]
+        descr.append("Q")
+
+    # haplotypes for the multi-allele path
+    haps = [anc]
+    if d > 1 and n_reads >= 4:
+        haps.append(_mutate(rng, anc, alpha, 0.08, 0.02))
+
+    lines = []
+    for i in range(n_reads):
+        hap = haps[int(rng.integers(len(haps)))]
+        seq = _mutate(rng, hap, alpha, sub_p, ind_p)
+        if amb and rng.random() < 0.4:
+            seq = seq.translate(RC)[::-1]
+        if (not is_aa) and rng.random() < 0.05:
+            # sprinkle ambiguity codes (encode to 4 on both sides)
+            pos = rng.integers(0, len(seq), max(1, len(seq) // 50))
+            sl = list(seq)
+            for p in pos:
+                sl[p] = "N"
+            seq = "".join(sl)
+        if is_fastq:
+            qual = "".join(chr(33 + int(q))
+                           for q in rng.integers(0, 41, len(seq)))
+            lines.append(f"@read{i}\n{seq}\n+\n{qual}")
+        else:
+            lines.append(f">read{i}\n{seq}")
+    return "\n".join(lines) + "\n", is_fastq, args, " ".join(descr)
+
+
+# ------------------------------------------------------------------ #
+def run_ref(inp: pathlib.Path, args: list[str]):
+    """-> (rc, stdout_bytes, stderr_tail)"""
+    env = dict(os.environ, CANARY_BYTE="0x00")
+    r = subprocess.run([str(REF_BIN), *args, str(inp)],
+                       capture_output=True, env=env, timeout=120)
+    return r.returncode, r.stdout, r.stderr[-200:]
+
+
+def run_ours(inp: pathlib.Path, args: list[str], out: pathlib.Path):
+    """-> (rc, out_bytes, stderr_tail)"""
+    from abpoa_tpu import cli
+    if out.exists():
+        out.unlink()
+    err = io.StringIO()
+    with contextlib.redirect_stdout(io.StringIO()), \
+            contextlib.redirect_stderr(err):
+        rc = cli.main([*args, "-o", str(out), str(inp)])
+    body = out.read_bytes() if out.exists() else b""
+    return rc, body, err.getvalue()[-200:]
+
+
+def run_case(seed: int, workdir: pathlib.Path):
+    """-> (ok, descr, ref_bytes, got_bytes, args, input_text)
+
+    Parity contract: equal stdout bytes on success, and
+    failure-for-failure — when the sanitized reference err_fatals
+    (e.g. its backtrack dead-end, ref src/simd_abpoa_align.c:419), our
+    CLI must also exit nonzero (the oracle reproduces the dead end)."""
+    text, is_fastq, args, descr = gen_case(seed)
+    inp = workdir / ("in.fq" if is_fastq else "in.fa")
+    inp.write_text(text)
+    ref_rc, ref, ref_err = run_ref(inp, args)
+    got_rc, got, got_err = run_ours(inp, args, workdir / "ours.out")
+    if ref_rc != 0:
+        ok = got_rc != 0
+        descr += f" [ref-fatal: {ref_err.strip()!r:.120}]"
+    else:
+        ok = got_rc == 0 and ref == got
+    return ok, descr, ref, got, args, text
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--keep-going", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+    a = ap.parse_args()
+    if not REF_BIN.exists():
+        sys.exit("sanitized reference missing; run "
+                 "tests/golden/make_sanitized_ref.sh first")
+    work = pathlib.Path("/tmp/abpoa_fuzz/work")
+    work.mkdir(parents=True, exist_ok=True)
+    fails = []
+    for seed in range(a.start, a.start + a.n):
+        try:
+            ok, descr, ref, got, args, text = run_case(seed, work)
+        except Exception as e:
+            ok, descr = False, f"EXC {e!r:.200}"
+            ref = got = b""
+            text, _, args, _ = gen_case(seed)  # keep the repro
+        if ok:
+            if not a.quiet:
+                print(f"seed {seed:5d} OK   {descr}")
+            continue
+        fails.append(seed)
+        rd = pathlib.Path(f"/tmp/abpoa_fuzz/{seed}")
+        rd.mkdir(parents=True, exist_ok=True)
+        (rd / "input").write_text(text)
+        (rd / "args").write_text(" ".join(args) + "\n")
+        (rd / "ref.out").write_bytes(ref)
+        (rd / "got.out").write_bytes(got)
+        print(f"seed {seed:5d} FAIL {descr}  args: {' '.join(args)}  "
+              f"-> /tmp/abpoa_fuzz/{seed}")
+        if not a.keep_going:
+            break
+    print(f"\n{a.n} cases from seed {a.start}: "
+          f"{a.n - len(fails)} ok, {len(fails)} failed"
+          + (f" {fails}" if fails else ""))
+    shutil.rmtree(work, ignore_errors=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
