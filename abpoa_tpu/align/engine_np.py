@@ -24,7 +24,6 @@ The vector quirks that leak into scores (and therefore into output bytes):
 """
 from __future__ import annotations
 
-import ctypes
 import dataclasses
 import os
 
@@ -253,8 +252,18 @@ class _Ctx:
                 self.qp.ctypes.data,
                 self.dp_beg.ctypes.data, self.dp_end.ctypes.data,
                 self.dp_beg_sn.ctypes.data, self.dp_end_sn.ctypes.data)
-            self._row_stride_bytes = int(self.H.strides[0])
-            self._maxi_out = ctypes.c_longlong()
+            self._out2 = np.empty(2, dtype=np.int64)
+            g = graph
+            if params.wb >= 0:
+                self._cmeta = (
+                    g.node_id_to_max_remain.ctypes.data,
+                    g.node_id_to_max_pos_left.ctypes.data,
+                    g.node_id_to_max_pos_right.ctypes.data)
+                self._end_remain = int(
+                    g.node_id_to_max_remain[end_node_id])
+            else:
+                self._cmeta = (z.ctypes.data,) * 3  # never dereferenced
+                self._end_remain = 0
 
     # -------------------------------------------------------------- #
     def _ad_beg(self, node_id: int) -> int:
@@ -486,16 +495,6 @@ class _Ctx:
                 max_v = int(a[lane]); max_i = int(b[lane])
         return max_v, max_i
 
-    def _max_row(self, dp_i: int, beg_sn: int, end_sn: int):
-        """_max_in_row through the native kernel when available."""
-        if self._clib is not None:
-            v = self._clib.np_max_in_row(
-                self.H.ctypes.data + dp_i * self._row_stride_bytes,
-                beg_sn, end_sn, self.pn, self.qlen, int(self.inf_min),
-                self.bits, ctypes.byref(self._maxi_out))
-            return int(v), int(self._maxi_out.value)
-        return self._max_in_row(self.H[dp_i], beg_sn, end_sn)
-
     def _ada_max_i(self, max_i: int, node_id: int):
         """adaptive band propagation to successors (ref :1274-1282)."""
         g = self.g
@@ -515,34 +514,42 @@ class _Ctx:
         g = self.g
         clib = self._clib
         wb_neg = p.wb < 0
+        # the row kernel computes the row max when any consumer needs it
+        need_max = 1 if (p.align_mode != GLOBAL_MODE or not wb_neg) else 0
         for index_i in range(self.beg_index + 1, self.end_index):
             if not self.index_map[index_i]:
                 continue
             dp_i = index_i - self.beg_index
             node_id = int(g.index_to_node_id[index_i])
             if clib is not None:
-                ad_b = 0 if wb_neg else self._ad_beg(node_id)
-                ad_e = 0 if wb_neg else self._ad_end(node_id)
                 o = int(self._pre_off[dp_i])
                 clib.np_dp_row(
                     *self._cargs,
                     self._pre_flat.ctypes.data + o * 4,
                     int(self._pre_off[dp_i + 1]) - o,
-                    dp_i, ad_b, ad_e, g.node[node_id].base, self.bits)
-            elif gm == LINEAR_GAP:
-                self._row_lg(dp_i, node_id, local)
-            elif gm == AFFINE_GAP:
-                self._row_ag(dp_i, node_id, local)
+                    dp_i, g.node[node_id].base, self.bits,
+                    *self._cmeta, node_id, self._end_remain, self.w,
+                    need_max, self._out2.ctypes.data)
+                mx, mi = ((int(self._out2[0]), int(self._out2[1]))
+                          if need_max else (None, None))
             else:
-                self._row_cg(dp_i, node_id, local)
-            beg_sn = int(self.dp_beg_sn[dp_i]); end_sn = int(self.dp_end_sn[dp_i])
-            mi = None
+                if gm == LINEAR_GAP:
+                    self._row_lg(dp_i, node_id, local)
+                elif gm == AFFINE_GAP:
+                    self._row_ag(dp_i, node_id, local)
+                else:
+                    self._row_cg(dp_i, node_id, local)
+                if need_max:
+                    beg_sn = int(self.dp_beg_sn[dp_i])
+                    end_sn = int(self.dp_end_sn[dp_i])
+                    mx, mi = self._max_in_row(self.H[dp_i], beg_sn,
+                                              end_sn)
+                else:
+                    mx, mi = None, None
             if p.align_mode == LOCAL_MODE:
-                mx, mi = self._max_row(dp_i, beg_sn, end_sn)
                 if mx > self.best_score:
                     self.best_score, self.best_i, self.best_j = mx, dp_i, mi
             elif p.align_mode == EXTEND_MODE:
-                mx, mi = self._max_row(dp_i, beg_sn, end_sn)
                 if mx > self.best_score:
                     self.best_score, self.best_i, self.best_j = mx, dp_i, mi
                     self.best_id = node_id
@@ -553,8 +560,6 @@ class _Ctx:
                             p.zdrop + p.gap_ext1 * abs(delta - (mi - self.best_j))):
                         break
             if p.wb >= 0:
-                if p.align_mode == GLOBAL_MODE:
-                    _, mi = self._max_row(dp_i, beg_sn, end_sn)
                 self._ada_max_i(mi, node_id)
         if p.align_mode == GLOBAL_MODE:
             self._global_get_max()

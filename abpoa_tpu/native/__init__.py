@@ -109,8 +109,9 @@ def get_lib():
             # oracle DP row kernels (dprow.c)
             "np_dp_row": (ctypes.c_int,
                           [_vp] * 7 + [_vp] * 4
-                          + [_vp, _i32, ctypes.c_int64, ctypes.c_int64,
-                             ctypes.c_int64, _i32, _i32]),
+                          + [_vp, _i32, ctypes.c_int64, _i32, _i32]
+                          + [_vp] * 3
+                          + [ctypes.c_int64] * 3 + [_i32, _vp]),
             "np_max_in_row": (ctypes.c_int64,
                               [_vp, ctypes.c_int64, ctypes.c_int64,
                                ctypes.c_int64, ctypes.c_int64,

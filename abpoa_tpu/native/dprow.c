@@ -34,22 +34,30 @@
 #undef T
 #undef FN
 
+/* One DP row; when need_max, also writes the row (max, argmax) with
+ * reference blend semantics into out2[0..1]. Band metadata arrays
+ * (max_remain/max_pos_*) are only read when prm says wb >= 0. */
 int np_dp_row(const long long *prm, void *H, void *E1, void *E2,
               void *F1, void *F2, const void *qp,
               long long *dp_beg, long long *dp_end,
               long long *dp_beg_sn, long long *dp_end_sn,
-              const int *pres, int n_pre, long long dp_i,
-              long long ad_beg, long long ad_end, int base, int bits) {
+              const int *pres, int n_pre, long long dp_i, int base,
+              int bits, const long long *max_remain,
+              const long long *max_pos_l, const long long *max_pos_r,
+              long long node_id, long long end_remain, long long w,
+              int need_max, long long *out2) {
     if (bits == 16)
         dprow_row_16(prm, (char *)H, (char *)E1, (char *)E2, (char *)F1,
                      (char *)F2, (const char *)qp, dp_beg, dp_end,
-                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, ad_beg,
-                     ad_end, base);
+                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, base,
+                     max_remain, max_pos_l, max_pos_r, node_id,
+                     end_remain, w, need_max, out2);
     else
         dprow_row_32(prm, (char *)H, (char *)E1, (char *)E2, (char *)F1,
                      (char *)F2, (const char *)qp, dp_beg, dp_end,
-                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, ad_beg,
-                     ad_end, base);
+                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, base,
+                     max_remain, max_pos_l, max_pos_r, node_id,
+                     end_remain, w, need_max, out2);
     return 0;
 }
 
