@@ -149,6 +149,23 @@ def gen_case(seed: int):
         args += ["-Q"]
         descr.append("Q")
 
+    # incremental restore (-i): a prior run's GFA or MSA output becomes
+    # the starting graph (ref abpoa_restore_graph, abpoa_seq.c:595-660).
+    # The incr file itself is generated by the REFERENCE on a first read
+    # set, so both sides restore identical bytes. nt/global only (the
+    # reference's own -i usage); seeding composes but keep cases simple.
+    incr = None  # (first_fasta_text, gen_args) or None
+    if (not is_aa) and m == 0 and "-S" not in args \
+            and rng.random() < 0.15:
+        n0 = int(rng.integers(2, 7))
+        lines0 = []
+        for i in range(n0):
+            seq = _mutate(rng, anc, alpha, sub_p, ind_p)
+            lines0.append(f">base{i}\n{seq}")
+        fmt = "-r3" if rng.random() < 0.6 else "-r1"
+        incr = ("\n".join(lines0) + "\n", [fmt])
+        descr.append(f"i({fmt})")
+
     # haplotypes for the multi-allele path
     haps = [anc]
     if d > 1 and n_reads >= 4:
@@ -173,7 +190,8 @@ def gen_case(seed: int):
             lines.append(f"@read{i}\n{seq}\n+\n{qual}")
         else:
             lines.append(f">read{i}\n{seq}")
-    return "\n".join(lines) + "\n", is_fastq, args, " ".join(descr)
+    return ("\n".join(lines) + "\n", is_fastq, args, " ".join(descr),
+            incr)
 
 
 # ------------------------------------------------------------------ #
@@ -205,9 +223,20 @@ def run_case(seed: int, workdir: pathlib.Path):
     failure-for-failure — when the sanitized reference err_fatals
     (e.g. its backtrack dead-end, ref src/simd_abpoa_align.c:419), our
     CLI must also exit nonzero (the oracle reproduces the dead end)."""
-    text, is_fastq, args, descr = gen_case(seed)
+    text, is_fastq, args, descr, incr = gen_case(seed)
     inp = workdir / ("in.fq" if is_fastq else "in.fa")
     inp.write_text(text)
+    if incr is not None:
+        base_text, gen_args = incr
+        base_inp = workdir / "base.fa"
+        base_inp.write_text(base_text)
+        rc0, incr_bytes, err0 = run_ref(base_inp, gen_args)
+        if rc0 != 0 or not incr_bytes.strip():
+            return (True, descr + " [incr-gen-skip]", b"", b"", args,
+                    text)
+        incr_fn = workdir / "incr.in"
+        incr_fn.write_bytes(incr_bytes)
+        args = args + ["-i", str(incr_fn)]
     ref_rc, ref, ref_err = run_ref(inp, args)
     got_rc, got, got_err = run_ours(inp, args, workdir / "ours.out")
     if ref_rc != 0:
@@ -237,7 +266,7 @@ def main():
         except Exception as e:
             ok, descr = False, f"EXC {e!r:.200}"
             ref = got = b""
-            text, _, args, _ = gen_case(seed)  # keep the repro
+            text, _, args, _, _ = gen_case(seed)  # keep the repro
         if ok:
             if not a.quiet:
                 print(f"seed {seed:5d} OK   {descr}")
