@@ -203,15 +203,19 @@ def run_ref(inp: pathlib.Path, args: list[str]):
     return r.returncode, r.stdout, r.stderr[-200:]
 
 
+ENGINE = None  # set by --engine: our side runs e.g. --engine jax
+
+
 def run_ours(inp: pathlib.Path, args: list[str], out: pathlib.Path):
     """-> (rc, out_bytes, stderr_tail)"""
     from abpoa_tpu import cli
     if out.exists():
         out.unlink()
+    eng = ["--engine", ENGINE] if ENGINE else []
     err = io.StringIO()
     with contextlib.redirect_stdout(io.StringIO()), \
             contextlib.redirect_stderr(err):
-        rc = cli.main([*args, "-o", str(out), str(inp)])
+        rc = cli.main([*args, *eng, "-o", str(out), str(inp)])
     body = out.read_bytes() if out.exists() else b""
     return rc, body, err.getvalue()[-200:]
 
@@ -253,7 +257,20 @@ def main():
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--keep-going", action="store_true")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--engine", choices=["numpy", "jax"], default=None,
+                    help="route our side through this DP engine "
+                         "(jax = the device/XLA path; on CPU this "
+                         "fuzzes the TPU engine's XLA flavor)")
     a = ap.parse_args()
+    if a.engine:
+        global ENGINE
+        ENGINE = a.engine
+        if a.engine == "jax":
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              str(REPO / ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     if not REF_BIN.exists():
         sys.exit("sanitized reference missing; run "
                  "tests/golden/make_sanitized_ref.sh first")
