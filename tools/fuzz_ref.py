@@ -220,16 +220,65 @@ def run_ours(inp: pathlib.Path, args: list[str], out: pathlib.Path):
     return rc, body, err.getvalue()[-200:]
 
 
-def run_case(seed: int, workdir: pathlib.Path):
+def gen_list_case(seed: int, workdir: pathlib.Path):
+    """List-mode (-l) case: 4-7 independent single-instance files, one
+    consensus each (ref serial loop abpoa.c:135-143; our --engine jax
+    side batches all files through BatchPOA — the production TPU path,
+    byte-identical by contract). Reuses gen_case inputs from derived
+    seeds; flags come from the base seed but drop per-file modes."""
+    rng = np.random.default_rng(10_000_019 + seed)
+    k = int(rng.integers(4, 8))
+    fns = []
+    for i in range(k):
+        text, is_fq, _, _, _ = gen_case(200_000 + seed * 8 + i)
+        p = workdir / (f"li{i}.fq" if is_fq else f"li{i}.fa")
+        p.write_text(text)
+        fns.append(str(p))
+    lst = workdir / "in.list"
+    lst.write_text("\n".join(fns) + "\n")
+    args = ["-l"]
+    r = int(rng.integers(0, 6))
+    if r:
+        args += ["-r", str(r)]
+    if rng.random() < 0.3:
+        args += ["-d", "2"]
+    if rng.random() < 0.3:
+        args += ["-Q"]
+    return lst, args, f"list k={k} r={r}"
+
+
+def run_case(seed: int, workdir: pathlib.Path, list_mode: bool = False):
     """-> (ok, descr, ref_bytes, got_bytes, args, input_text)
 
     Parity contract: equal stdout bytes on success, and
     failure-for-failure — when the sanitized reference err_fatals
     (e.g. its backtrack dead-end, ref src/simd_abpoa_align.c:419), our
     CLI must also exit nonzero (the oracle reproduces the dead end)."""
-    text, is_fastq, args, descr, incr = gen_case(seed)
-    inp = workdir / ("in.fq" if is_fastq else "in.fa")
-    inp.write_text(text)
+    if list_mode:
+        # reference side runs per file and concatenates: the reference's
+        # own -l loop leaks stale FASTQ qualities into later FASTA files
+        # under -Q (docs/REFERENCE_UB.md finding 3); per-file runs are
+        # its defined semantics, which our list mode must match
+        inp, args, descr = gen_list_case(seed, workdir)
+        text, incr = inp.read_text(), None
+        sargs = [x for x in args if x != "-l"]
+        ref_rc, ref, ref_err = 0, b"", b""
+        for fn in text.splitlines():
+            rc1, out1, err1 = run_ref(pathlib.Path(fn), sargs)
+            ref += out1
+            if rc1 != 0:
+                ref_rc, ref_err = rc1, err1
+        got_rc, got, got_err = run_ours(inp, args, workdir / "ours.out")
+        if ref_rc != 0:
+            ok = got_rc != 0
+            descr += f" [ref-fatal: {ref_err.strip()!r:.120}]"
+        else:
+            ok = got_rc == 0 and ref == got
+        return ok, descr, ref, got, args, text
+    else:
+        text, is_fastq, args, descr, incr = gen_case(seed)
+        inp = workdir / ("in.fq" if is_fastq else "in.fa")
+        inp.write_text(text)
     if incr is not None:
         base_text, gen_args = incr
         base_inp = workdir / "base.fa"
@@ -261,6 +310,10 @@ def main():
                     help="route our side through this DP engine "
                          "(jax = the device/XLA path; on CPU this "
                          "fuzzes the TPU engine's XLA flavor)")
+    ap.add_argument("--list-mode", action="store_true",
+                    help="fuzz -l list cases (with --engine jax these "
+                         "batch all files through BatchPOA, the "
+                         "production device path)")
     a = ap.parse_args()
     if a.engine:
         global ENGINE
@@ -274,16 +327,21 @@ def main():
     if not REF_BIN.exists():
         sys.exit("sanitized reference missing; run "
                  "tests/golden/make_sanitized_ref.sh first")
-    work = pathlib.Path("/tmp/abpoa_fuzz/work")
+    # per-process workdir: concurrent campaigns must not clobber inputs
+    work = pathlib.Path(f"/tmp/abpoa_fuzz/work.{os.getpid()}")
     work.mkdir(parents=True, exist_ok=True)
     fails = []
     for seed in range(a.start, a.start + a.n):
         try:
-            ok, descr, ref, got, args, text = run_case(seed, work)
+            ok, descr, ref, got, args, text = run_case(
+                seed, work, list_mode=a.list_mode)
         except Exception as e:
             ok, descr = False, f"EXC {e!r:.200}"
             ref = got = b""
-            text, _, args, _, _ = gen_case(seed)  # keep the repro
+            if a.list_mode:
+                args, text = ["-l"], ""
+            else:
+                text, _, args, _, _ = gen_case(seed)  # keep the repro
         if ok:
             if not a.quiet:
                 print(f"seed {seed:5d} OK   {descr}")
