@@ -21,9 +21,10 @@ pytestmark = pytest.mark.skipif(
            "(tests/golden/make_sanitized_ref.sh)")
 
 # seeds chosen to span modes: global/local/extend, linear/affine/convex,
-# r0-r5, seeding, fastq+qv, aa, amb_strand, multi-consensus (the campaign
-# prints each seed's config; see tools/fuzz_ref.py gen_case)
-SEEDS = [0, 2, 3, 6, 7, 10, 16, 19, 22, 23]
+# r0-r5, seeding, fastq+qv, aa, amb_strand, multi-consensus, incremental
+# -i restore (38, 90: GFA + MSA) (the campaign prints each seed's
+# config; see tools/fuzz_ref.py gen_case)
+SEEDS = [0, 2, 3, 6, 7, 10, 16, 19, 22, 23, 38, 90]
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -31,3 +32,11 @@ def test_fuzz_parity(seed, tmp_path):
     ok, descr, ref, got, args, text = fuzz_ref.run_case(seed, tmp_path)
     assert ok, (f"seed {seed} ({descr}) args={' '.join(args)}\n"
                 f"ref: {ref[:400]!r}\ngot: {got[:400]!r}")
+
+
+def test_fuzz_list_mode(tmp_path):
+    # -l case: per-file reference runs vs our list loop (defined
+    # semantics; docs/REFERENCE_UB.md finding 3)
+    ok, descr, ref, got, args, text = fuzz_ref.run_case(
+        1, tmp_path, list_mode=True)
+    assert ok, f"list seed 1 ({descr}): ref={ref[:300]!r} got={got[:300]!r}"
