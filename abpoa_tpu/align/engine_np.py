@@ -208,7 +208,6 @@ class _Ctx:
         self.best_i = 0; self.best_j = 0; self.best_id = 0
         # scratch (hot-loop allocation diet; contents never outlive a call)
         self._fbuf1 = np.empty(self.pn, dtype=it)
-        self._fbuf2 = np.empty(self.pn, dtype=it)
         self._f2d = np.empty((2, self.pn), dtype=it)
         self._e12S = np.stack([self.e1S, self.e2S])
         self._mbuf = np.empty(width, dtype=it)

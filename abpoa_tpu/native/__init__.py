@@ -106,16 +106,13 @@ def get_lib():
             "sc_dp_chaining": (ctypes.c_int64,
                                [_vp, ctypes.c_int64, _i32, _i32, _i32,
                                 _i32, _vp]),
-            # oracle DP row kernels (dprow.c)
+            # oracle DP row kernel (dprow.c; row max is computed
+            # in-call via the need_max flag)
             "np_dp_row": (ctypes.c_int,
                           [_vp] * 7 + [_vp] * 4
                           + [_vp, _i32, ctypes.c_int64, _i32, _i32]
                           + [_vp] * 3
                           + [ctypes.c_int64] * 3 + [_i32, _vp]),
-            "np_max_in_row": (ctypes.c_int64,
-                              [_vp, ctypes.c_int64, ctypes.c_int64,
-                               ctypes.c_int64, ctypes.c_int64,
-                               ctypes.c_int64, _i32, _vp]),
         }
         for name, (res, args) in sigs.items():
             fn = getattr(lib, name)

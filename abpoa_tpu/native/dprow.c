@@ -61,12 +61,3 @@ int np_dp_row(const long long *prm, void *H, void *E1, void *E2,
     return 0;
 }
 
-long long np_max_in_row(const void *Hrow, long long beg_sn,
-                        long long end_sn, long long pn, long long qlen,
-                        long long inf_min, int bits, long long *out_i) {
-    if (bits == 16)
-        return dprow_max_in_row_16((const int16_t *)Hrow, beg_sn, end_sn,
-                                   pn, qlen, (int16_t)inf_min, out_i);
-    return dprow_max_in_row_32((const int32_t *)Hrow, beg_sn, end_sn,
-                               pn, qlen, (int32_t)inf_min, out_i);
-}

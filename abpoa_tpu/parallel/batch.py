@@ -596,8 +596,15 @@ class BatchPOA:
             R, W, P_, O_ = self._ratchet_floors(pn, items)
             dgs = [repad_dense(d[4], R, W, P_, O_) for d in items]
             cfg, batched = _stack_inputs(dgs, params)
-            out = self._device_call(cfg, batched)
-            pends.append(dict(xla=True, out=out, items=items, dgs=dgs))
+
+            # worker thread owns dispatch AND the device->host fetch so
+            # the round loop overlaps transfer with the other shard's
+            # host work (same pattern as _seeded_dispatch)
+            def submit(cfg=cfg, batched=batched):
+                import jax
+                return jax.device_get(self._device_call(cfg, batched))
+            pends.append(dict(xla=True, future=self._pool().submit(submit),
+                              items=items, dgs=dgs))
         return pends
 
     def _seeded_apply_xla(self, pend, abs_):
@@ -606,7 +613,8 @@ class BatchPOA:
         dg.beg_index)."""
         from ..align.engine_jax import _backtrack_from_planes
         params = self.params
-        out, items, dgs = pend["out"], pend["items"], pend["dgs"]
+        out, items, dgs = pend["future"].result(), pend["items"], \
+            pend["dgs"]
         H = np.asarray(out.H)
         E1 = np.asarray(out.E1)
         E2 = np.asarray(out.E2)

@@ -129,8 +129,11 @@ def test_list_empty_file_batched_matches_serial(tmp_path):
     empty = tmp_path / "empty.fa"
     empty.write_text("")
     lst = tmp_path / "list.txt"
+    # 4+ files: cli.py only routes --engine jax lists through
+    # batch_msa_from_files at len(fns) >= 4
     lst.write_text("\n".join([str(DATA / "seq.fa"), str(empty),
-                              str(DATA / "seq.fa")]) + "\n")
+                              str(DATA / "seq.fa"),
+                              str(DATA / "test.fa")]) + "\n")
     serial = run_cli(["-l", str(lst)])
     batched = run_cli(["-l", "--engine", "jax", str(lst)])
     assert batched == serial
