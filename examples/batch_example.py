@@ -12,6 +12,7 @@ Run from the repo root (any backend; uses a virtual CPU mesh if no TPU):
     XLA_FLAGS=--xla_force_host_platform_device_count=4 \
         JAX_PLATFORMS=cpu python examples/batch_example.py
 """
+import os
 import pathlib
 import sys
 
@@ -22,6 +23,10 @@ import numpy as np  # noqa: E402
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # a preset platform plugin outranks the env var (CLAUDE.md);
+        # honor the user's explicit choice
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from jax.sharding import Mesh
     from abpoa_tpu.params import Params
     from abpoa_tpu.parallel import BatchPOA
