@@ -65,8 +65,15 @@ def gen_case(seed: int):
     rng = np.random.default_rng(seed)
     is_aa = rng.random() < 0.15
     alpha = AA if is_aa else NT
-    L = int(rng.integers(15, 401))
-    n_reads = int(rng.integers(1, 13))
+    if (not is_aa) and rng.random() < 0.12:
+        # long reads: stresses adaptive banding, the reference-default
+        # seeding window partition (min_w 500), and the 16/32-bit
+        # score-width boundary
+        L = int(rng.integers(600, 3000))
+        n_reads = int(rng.integers(2, 7))
+    else:
+        L = int(rng.integers(15, 401))
+        n_reads = int(rng.integers(1, 13))
     sub_p = float(rng.choice([0.0, 0.02, 0.05, 0.1, 0.2]))
     ind_p = float(rng.choice([0.0, 0.01, 0.03, 0.08]))
     anc = "".join(alpha[k] for k in rng.integers(0, len(alpha), L))
@@ -132,13 +139,16 @@ def gen_case(seed: int):
     if amb:
         args += ["-s"]
 
-    # seeding (global mode only; force small windows so it really fires)
+    # seeding (global mode only; small windows force the anchored path
+    # on short reads — or reference defaults, which partition naturally
+    # once reads exceed min_w 500)
     if m == 0 and rng.random() < 0.3:
         args += ["-S"]
-        args += ["-k", str(int(rng.choice([3, 5, 7] if is_aa
-                                          else [5, 9, 13, 19])))]
-        args += ["-w", str(int(rng.choice([3, 5, 10])))]
-        args += ["-n", str(int(rng.choice([10, 30, 100, 500])))]
+        if rng.random() < 0.6:
+            args += ["-k", str(int(rng.choice([3, 5, 7] if is_aa
+                                              else [5, 9, 13, 19])))]
+            args += ["-w", str(int(rng.choice([3, 5, 10])))]
+            args += ["-n", str(int(rng.choice([10, 30, 100, 500])))]
         if rng.random() < 0.5:
             args += ["-p"]
         descr.append("S")
