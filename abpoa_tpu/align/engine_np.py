@@ -251,8 +251,8 @@ class _Ctx:
                 self.qp.ctypes.data,
                 self.dp_beg.ctypes.data, self.dp_end.ctypes.data,
                 self.dp_beg_sn.ctypes.data, self.dp_end_sn.ctypes.data)
-            self._out2 = np.empty(2, dtype=np.int64)
             g = graph
+            zp = z.ctypes.data  # dummy for meta the mode never reads
             if params.wb >= 0:
                 self._cmeta = (
                     g.node_id_to_max_remain.ctypes.data,
@@ -261,7 +261,12 @@ class _Ctx:
                 self._end_remain = int(
                     g.node_id_to_max_remain[end_node_id])
             else:
-                self._cmeta = (z.ctypes.data,) * 3  # never dereferenced
+                # max_remain still exists (and is read by the extend-mode
+                # z-drop) when zdrop > 0; band metadata stays unread
+                mr = (g.node_id_to_max_remain.ctypes.data
+                      if getattr(g, "node_id_to_max_remain", None)
+                      is not None else zp)
+                self._cmeta = (mr, zp, zp)
                 self._end_remain = 0
 
     # -------------------------------------------------------------- #
@@ -515,23 +520,44 @@ class _Ctx:
         wb_neg = p.wb < 0
         # the row kernel computes the row max when any consumer needs it
         need_max = 1 if (p.align_mode != GLOBAL_MODE or not wb_neg) else 0
-        for index_i in range(self.beg_index + 1, self.end_index):
-            if not self.index_map[index_i]:
-                continue
-            dp_i = index_i - self.beg_index
-            node_id = int(g.index_to_node_id[index_i])
-            if clib is not None:
-                o = int(self._pre_off[dp_i])
-                clib.np_dp_row(
-                    *self._cargs,
-                    self._pre_flat.ctypes.data + o * 4,
-                    int(self._pre_off[dp_i + 1]) - o,
-                    dp_i, g.node[node_id].base, self.bits,
-                    *self._cmeta, node_id, self._end_remain, self.w,
-                    need_max, self._out2.ctypes.data)
-                mx, mi = ((int(self._out2[0]), int(self._out2[1]))
-                          if need_max else (None, None))
-            else:
+        if clib is not None:
+            # whole sweep in C (rows + best tracking + z-drop + adaptive
+            # band propagation). CSR snapshot: reuse the cached dict when
+            # provably fresh — POAGraph's edge log is empty and no node
+            # was added (aligned-node links only ever appear together
+            # with a new node, so the n check covers them); NativeGraph
+            # re-validates per mutation version inside build_csr (cheap)
+            csr = getattr(g, "_csr", None)
+            if (csr is None or getattr(g, "_log", True)
+                    or csr["n"] != g.node_n):
+                csr = g.build_csr()
+            ctl = np.array([self.beg_index, self.end_index,
+                            self._end_remain, self.w, p.align_mode,
+                            p.zdrop, p.gap_ext1], dtype=np.int64)
+            best = np.array([self.best_score, self.best_i, self.best_j,
+                             self.best_id], dtype=np.int64)
+            imap = self.index_map.view(np.uint8)
+            i2n64 = np.ascontiguousarray(g.index_to_node_id,
+                                         dtype=np.int64)
+            mr, mpl, mpr = self._cmeta
+            clib.np_dp_run(
+                *self._cargs,
+                self._pre_flat.ctypes.data, self._pre_off.ctypes.data,
+                imap.ctypes.data, i2n64.ctypes.data,
+                csr["bases"].ctypes.data, mr, mpl, mpr,
+                csr["out_flat"].ctypes.data,
+                csr["out_off"].ctypes.data,
+                ctl.ctypes.data, best.ctypes.data, self.bits)
+            self.best_score = int(best[0])
+            self.best_i = int(best[1])
+            self.best_j = int(best[2])
+            self.best_id = int(best[3])
+        else:
+            for index_i in range(self.beg_index + 1, self.end_index):
+                if not self.index_map[index_i]:
+                    continue
+                dp_i = index_i - self.beg_index
+                node_id = int(g.index_to_node_id[index_i])
                 if gm == LINEAR_GAP:
                     self._row_lg(dp_i, node_id, local)
                 elif gm == AFFINE_GAP:
@@ -545,21 +571,24 @@ class _Ctx:
                                               end_sn)
                 else:
                     mx, mi = None, None
-            if p.align_mode == LOCAL_MODE:
-                if mx > self.best_score:
-                    self.best_score, self.best_i, self.best_j = mx, dp_i, mi
-            elif p.align_mode == EXTEND_MODE:
-                if mx > self.best_score:
-                    self.best_score, self.best_i, self.best_j = mx, dp_i, mi
-                    self.best_id = node_id
-                elif p.zdrop > 0:
-                    delta = (int(g.node_id_to_max_remain[self.best_id])
-                             - int(g.node_id_to_max_remain[node_id]))
-                    if (self.best_score - mx >
-                            p.zdrop + p.gap_ext1 * abs(delta - (mi - self.best_j))):
-                        break
-            if p.wb >= 0:
-                self._ada_max_i(mi, node_id)
+                if p.align_mode == LOCAL_MODE:
+                    if mx > self.best_score:
+                        self.best_score, self.best_i, self.best_j = \
+                            mx, dp_i, mi
+                elif p.align_mode == EXTEND_MODE:
+                    if mx > self.best_score:
+                        self.best_score, self.best_i, self.best_j = \
+                            mx, dp_i, mi
+                        self.best_id = node_id
+                    elif p.zdrop > 0:
+                        delta = (int(g.node_id_to_max_remain[self.best_id])
+                                 - int(g.node_id_to_max_remain[node_id]))
+                        if (self.best_score - mx >
+                                p.zdrop + p.gap_ext1
+                                * abs(delta - (mi - self.best_j))):
+                            break
+                if p.wb >= 0:
+                    self._ada_max_i(mi, node_id)
         if p.align_mode == GLOBAL_MODE:
             self._global_get_max()
         self.res.best_score = int(self.best_score)

@@ -106,13 +106,9 @@ def get_lib():
             "sc_dp_chaining": (ctypes.c_int64,
                                [_vp, ctypes.c_int64, _i32, _i32, _i32,
                                 _i32, _vp]),
-            # oracle DP row kernel (dprow.c; row max is computed
-            # in-call via the need_max flag)
-            "np_dp_row": (ctypes.c_int,
-                          [_vp] * 7 + [_vp] * 4
-                          + [_vp, _i32, ctypes.c_int64, _i32, _i32]
-                          + [_vp] * 3
-                          + [ctypes.c_int64] * 3 + [_i32, _vp]),
+            # oracle whole-alignment row sweep (dprow.c np_dp_run):
+            # 7 plane/qp + 4 band + 12 sweep pointers, then bits
+            "np_dp_run": (ctypes.c_int64, [_vp] * 23 + [_i32]),
         }
         for name, (res, args) in sigs.items():
             fn = getattr(lib, name)

@@ -34,30 +34,32 @@
 #undef T
 #undef FN
 
-/* One DP row; when need_max, also writes the row (max, argmax) with
- * reference blend semantics into out2[0..1]. Band metadata arrays
- * (max_remain/max_pos_*) are only read when prm says wb >= 0. */
-int np_dp_row(const long long *prm, void *H, void *E1, void *E2,
-              void *F1, void *F2, const void *qp,
-              long long *dp_beg, long long *dp_end,
-              long long *dp_beg_sn, long long *dp_end_sn,
-              const int *pres, int n_pre, long long dp_i, int base,
-              int bits, const long long *max_remain,
-              const long long *max_pos_l, const long long *max_pos_r,
-              long long node_id, long long end_remain, long long w,
-              int need_max, long long *out2) {
+/* Whole-alignment row sweep (see FN(run) in dprow_impl.inc).
+ * Returns 1 when extend-mode z-drop broke the sweep, else 0. */
+long long np_dp_run(const long long *prm, void *H, void *E1, void *E2,
+                    void *F1, void *F2, const void *qp,
+                    long long *dp_beg, long long *dp_end,
+                    long long *dp_beg_sn, long long *dp_end_sn,
+                    const int *pre_flat, const long long *pre_off,
+                    const unsigned char *index_map, const long long *i2n,
+                    const int *bases, const long long *max_remain,
+                    long long *max_pos_l, long long *max_pos_r,
+                    const int *out_flat, const int *out_off,
+                    const long long *ctl, long long *best, int bits) {
     if (bits == 16)
-        dprow_row_16(prm, (char *)H, (char *)E1, (char *)E2, (char *)F1,
-                     (char *)F2, (const char *)qp, dp_beg, dp_end,
-                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, base,
-                     max_remain, max_pos_l, max_pos_r, node_id,
-                     end_remain, w, need_max, out2);
-    else
-        dprow_row_32(prm, (char *)H, (char *)E1, (char *)E2, (char *)F1,
-                     (char *)F2, (const char *)qp, dp_beg, dp_end,
-                     dp_beg_sn, dp_end_sn, pres, n_pre, dp_i, base,
-                     max_remain, max_pos_l, max_pos_r, node_id,
-                     end_remain, w, need_max, out2);
-    return 0;
+        return dprow_run_16(prm, (char *)H, (char *)E1, (char *)E2,
+                            (char *)F1, (char *)F2, (const char *)qp,
+                            dp_beg, dp_end, dp_beg_sn, dp_end_sn,
+                            pre_flat, pre_off, index_map, i2n, bases,
+                            max_remain, max_pos_l, max_pos_r, out_flat,
+                            out_off, ctl, best);
+    return dprow_run_32(prm, (char *)H, (char *)E1, (char *)E2,
+                        (char *)F1, (char *)F2, (const char *)qp,
+                        dp_beg, dp_end, dp_beg_sn, dp_end_sn,
+                        pre_flat, pre_off, index_map, i2n, bases,
+                        max_remain, max_pos_l, max_pos_r, out_flat,
+                        out_off, ctl, best);
 }
+
+
 

@@ -288,7 +288,15 @@ def run_case(seed: int, workdir: pathlib.Path, list_mode: bool = False):
     else:
         text, is_fastq, args, descr, incr = gen_case(seed)
         inp = workdir / ("in.fq" if is_fastq else "in.fa")
-        inp.write_text(text)
+        if seed % 17 == 3:
+            # gzipped input (ref xzopen/kseq reads .gz transparently)
+            import gzip
+            inp = inp.with_suffix(inp.suffix + ".gz")
+            with gzip.open(inp, "wt") as fp:
+                fp.write(text)
+            descr += " gz"
+        else:
+            inp.write_text(text)
     if incr is not None:
         base_text, gen_args = incr
         base_inp = workdir / "base.fa"
