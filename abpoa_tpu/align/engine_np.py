@@ -44,6 +44,31 @@ def _dprow_lib():
     from ..native import get_lib
     return get_lib()
 
+
+def _fresh_csr(g):
+    """Graph CSR snapshot, reusing the cached dict when provably fresh:
+    POAGraph's edge log is empty and no node was added (aligned-node
+    links only ever appear together with a new node, so the n check
+    covers them); NativeGraph re-validates per mutation version inside
+    build_csr (cheap)."""
+    c = getattr(g, "_csr", None)
+    if c is None or getattr(g, "_log", True) or c["n"] != g.node_n:
+        c = g.build_csr()
+    return c
+
+
+class _CsrRows:
+    """pre_index view over the flat CSR (read-only, iteration and
+    row-slicing only — what the backtrack walkers use)."""
+    __slots__ = ("flat", "off")
+
+    def __init__(self, flat, off):
+        self.flat = flat
+        self.off = off
+
+    def __getitem__(self, i):
+        return self.flat[self.off[i]:self.off[i + 1]]
+
 INT16_MAX = 32767
 INT16_MIN = -32768
 INT32_MIN = -2147483648
@@ -121,12 +146,23 @@ def align_sequence_to_subgraph(graph, params, beg_node_id: int, end_node_id: int
     # reachability map within the subgraph interval (ref :1650-1660)
     index_map = np.zeros(abg.node_n, dtype=bool)
     index_map[beg_index] = index_map[end_index] = True
-    for i in range(beg_index, end_index - 1):
-        if not index_map[i]:
-            continue
-        nid = int(i2n[i])
-        for out_id in abg.node[nid].out_id:
-            index_map[int(n2i[out_id])] = True
+    lib = _dprow_lib()
+    if lib is not None:
+        csr = _fresh_csr(abg)
+        i2n64 = np.ascontiguousarray(i2n, dtype=np.int64)
+        n2i64 = np.ascontiguousarray(n2i, dtype=np.int64)
+        lib.np_index_map(index_map.view(np.uint8).ctypes.data,
+                         i2n64.ctypes.data, n2i64.ctypes.data,
+                         csr["out_flat"].ctypes.data,
+                         csr["out_off"].ctypes.data,
+                         beg_index, end_index)
+    else:
+        for i in range(beg_index, end_index - 1):
+            if not index_map[i]:
+                continue
+            nid = int(i2n[i])
+            for out_id in abg.node[nid].out_id:
+                index_map[int(n2i[out_id])] = True
 
     # score-width dispatch (ref :1667-1683)
     bits, _pn, _ln, inf_min = score_width_dispatch(params, gn, qlen)
@@ -196,14 +232,48 @@ class _Ctx:
         self.dp_beg_sn = np.zeros(self.n_rows, dtype=np.int64)
         self.dp_end_sn = np.zeros(self.n_rows, dtype=np.int64)
         # pre_index (ref :1599-1613)
-        self.pre_index: list[list[int]] = [[] for _ in range(self.n_rows)]
-        for index_i in range(beg_index + 1, end_index + 1):
-            dp_i = index_i - beg_index
-            nid = int(graph.index_to_node_id[index_i])
-            for in_id in graph.node[nid].in_id:
-                pidx = int(graph.node_id_to_index[in_id])
-                if index_map[pidx]:
-                    self.pre_index[dp_i].append(pidx - beg_index)
+        self._clib = _dprow_lib()
+        nr = self.n_rows
+        if self._clib is not None:
+            # vectorized from the graph's in-CSR (same per-node order as
+            # the in_id lists); exposed to the backtrack walkers as a
+            # flat-slice view
+            csr = _fresh_csr(graph)
+            self._csr_snapshot = csr
+            ids = np.ascontiguousarray(
+                graph.index_to_node_id[beg_index + 1:end_index + 1],
+                dtype=np.int64)
+            in_off = csr["in_off"]
+            lo = in_off[ids].astype(np.int64)
+            cnt = in_off[ids + 1].astype(np.int64) - lo
+            total = int(cnt.sum())
+            off = np.zeros(nr + 1, dtype=np.int64)
+            if total:
+                cum = np.cumsum(cnt)
+                src = (np.repeat(lo, cnt)
+                       + np.arange(total, dtype=np.int64)
+                       - np.repeat(cum - cnt, cnt))
+                pidx = graph.node_id_to_index[csr["in_flat"][src]]
+                keep = index_map[pidx]
+                row_of = np.repeat(np.arange(1, nr, dtype=np.int64), cnt)
+                flat = np.ascontiguousarray(
+                    (pidx[keep] - beg_index).astype(np.int32))
+                np.cumsum(np.bincount(row_of[keep], minlength=nr),
+                          out=off[1:])
+            else:
+                flat = np.empty(0, dtype=np.int32)
+            self._pre_flat = flat
+            self._pre_off = off
+            self.pre_index = _CsrRows(flat, off)
+        else:
+            self.pre_index = [[] for _ in range(nr)]
+            for index_i in range(beg_index + 1, end_index + 1):
+                dp_i = index_i - beg_index
+                nid = int(graph.index_to_node_id[index_i])
+                for in_id in graph.node[nid].in_id:
+                    pidx = int(graph.node_id_to_index[in_id])
+                    if index_map[pidx]:
+                        self.pre_index[dp_i].append(pidx - beg_index)
         self.best_score = int(inf_min)
         self.best_i = 0; self.best_j = 0; self.best_id = 0
         # scratch (hot-loop allocation diet; contents never outlive a call)
@@ -216,7 +286,6 @@ class _Ctx:
         self._qi_all = np.arange(width, dtype=np.int64)
         self._qi_all[self._qi_all > qlen] = -1
         # native row kernel (dprow.c) argument block
-        self._clib = _dprow_lib()
         if self._clib is not None:
             ln = self.log_n
             prm = np.empty(16 + 2 * ln, dtype=np.int64)
@@ -233,14 +302,6 @@ class _Ctx:
             prm[16:16 + ln] = self.e1S
             prm[16 + ln:] = self.e2S
             self._prm = prm  # keep alive: _cargs holds raw pointers
-            off = np.zeros(self.n_rows + 1, dtype=np.int64)
-            for i, ps in enumerate(self.pre_index):
-                off[i + 1] = off[i] + len(ps)
-            flat = np.empty(int(off[-1]), dtype=np.int32)
-            for i, ps in enumerate(self.pre_index):
-                flat[off[i]:off[i + 1]] = ps
-            self._pre_flat = flat
-            self._pre_off = off
             z = self.H
             self._cargs = (
                 prm.ctypes.data, self.H.ctypes.data,
@@ -522,15 +583,9 @@ class _Ctx:
         need_max = 1 if (p.align_mode != GLOBAL_MODE or not wb_neg) else 0
         if clib is not None:
             # whole sweep in C (rows + best tracking + z-drop + adaptive
-            # band propagation). CSR snapshot: reuse the cached dict when
-            # provably fresh — POAGraph's edge log is empty and no node
-            # was added (aligned-node links only ever appear together
-            # with a new node, so the n check covers them); NativeGraph
-            # re-validates per mutation version inside build_csr (cheap)
-            csr = getattr(g, "_csr", None)
-            if (csr is None or getattr(g, "_log", True)
-                    or csr["n"] != g.node_n):
-                csr = g.build_csr()
+            # band propagation); snapshot taken at _Ctx init (the graph
+            # does not mutate during one alignment call)
+            csr = self._csr_snapshot
             ctl = np.array([self.beg_index, self.end_index,
                             self._end_remain, self.w, p.align_mode,
                             p.zdrop, p.gap_ext1], dtype=np.int64)
