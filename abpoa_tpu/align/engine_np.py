@@ -52,7 +52,11 @@ def _fresh_csr(g):
     covers them); NativeGraph re-validates per mutation version inside
     build_csr (cheap)."""
     c = getattr(g, "_csr", None)
-    if c is None or getattr(g, "_log", True) or c["n"] != g.node_n:
+    log = getattr(g, "_log", None)
+    # _log semantics (graph.py): [] = up to date, non-empty = replayable
+    # edge deltas, None / absent = log invalid or not a POAGraph -> let
+    # build_csr decide (NativeGraph's is version-cached and cheap)
+    if c is None or log is None or log or c["n"] != g.node_n:
         c = g.build_csr()
     return c
 
@@ -144,19 +148,22 @@ def align_sequence_to_subgraph(graph, params, beg_node_id: int, end_node_id: int
     qlen = len(query)
 
     # reachability map within the subgraph interval (ref :1650-1660)
-    index_map = np.zeros(abg.node_n, dtype=bool)
-    index_map[beg_index] = index_map[end_index] = True
     lib = _dprow_lib()
     if lib is not None:
+        # same forward-closure kernel the device path uses
+        # (native/hostgraph.c subgraph_reach)
+        from .. import native
         csr = _fresh_csr(abg)
-        i2n64 = np.ascontiguousarray(i2n, dtype=np.int64)
-        n2i64 = np.ascontiguousarray(n2i, dtype=np.int64)
-        lib.np_index_map(index_map.view(np.uint8).ctypes.data,
-                         i2n64.ctypes.data, n2i64.ctypes.data,
-                         csr["out_flat"].ctypes.data,
-                         csr["out_off"].ctypes.data,
-                         beg_index, end_index)
+        mask = native.subgraph_reach(
+            abg.node_n, beg_index, end_index,
+            np.ascontiguousarray(csr["out_flat"], dtype=np.int32),
+            np.ascontiguousarray(csr["out_off"], dtype=np.int32),
+            np.ascontiguousarray(i2n, dtype=np.int32),
+            np.ascontiguousarray(n2i, dtype=np.int32))
+        index_map = mask.astype(bool)
     else:
+        index_map = np.zeros(abg.node_n, dtype=bool)
+        index_map[beg_index] = index_map[end_index] = True
         for i in range(beg_index, end_index - 1):
             if not index_map[i]:
                 continue
@@ -595,14 +602,16 @@ class _Ctx:
             i2n64 = np.ascontiguousarray(g.index_to_node_id,
                                          dtype=np.int64)
             mr, mpl, mpr = self._cmeta
-            clib.np_dp_run(
+            # return value: 1 iff the extend-mode z-drop broke the sweep
+            # early (recorded for parity-debug visibility)
+            self.zdrop_broke = bool(clib.np_dp_run(
                 *self._cargs,
                 self._pre_flat.ctypes.data, self._pre_off.ctypes.data,
                 imap.ctypes.data, i2n64.ctypes.data,
                 csr["bases"].ctypes.data, mr, mpl, mpr,
                 csr["out_flat"].ctypes.data,
                 csr["out_off"].ctypes.data,
-                ctl.ctypes.data, best.ctypes.data, self.bits)
+                ctl.ctypes.data, best.ctypes.data, self.bits))
             self.best_score = int(best[0])
             self.best_i = int(best[1])
             self.best_j = int(best[2])

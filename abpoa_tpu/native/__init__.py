@@ -109,8 +109,6 @@ def get_lib():
             # oracle whole-alignment row sweep (dprow.c np_dp_run):
             # 7 plane/qp + 4 band + 12 sweep pointers, then bits
             "np_dp_run": (ctypes.c_int64, [_vp] * 23 + [_i32]),
-            # subgraph reachability closure (dprow.c)
-            "np_index_map": (None, [_vp] * 5 + [ctypes.c_int64] * 2),
         }
         for name, (res, args) in sigs.items():
             fn = getattr(lib, name)

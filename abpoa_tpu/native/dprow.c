@@ -34,25 +34,6 @@
 #undef T
 #undef FN
 
-/* Subgraph reachability closure over [beg,end] topo indices
- * (engine_np.align_sequence_to_subgraph; ref simd_abpoa_align.c
- * :1650-1660): forward sweep marking successors of marked nodes.
- * imap is a bool (uint8) array over all indices; beg/end preset. */
-void np_index_map(unsigned char *imap, const long long *i2n,
-                  const long long *n2i, const int *out_flat,
-                  const int *out_off, long long beg, long long end) {
-    long long i, t;
-    imap[beg] = 1;
-    imap[end] = 1;
-    for (i = beg; i < end - 1; i++) {
-        long long nid;
-        if (!imap[i]) continue;
-        nid = i2n[i];
-        for (t = out_off[nid]; t < out_off[nid + 1]; t++)
-            imap[n2i[out_flat[t]]] = 1;
-    }
-}
-
 /* Whole-alignment row sweep (see FN(run) in dprow_impl.inc).
  * Returns 1 when extend-mode z-drop broke the sweep, else 0. */
 long long np_dp_run(const long long *prm, void *H, void *E1, void *E2,
