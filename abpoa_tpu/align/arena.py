@@ -1,18 +1,22 @@
-"""Persistent DP arena replicating abPOA's s_mem reuse semantics.
+"""Persistent DP arena with the sanitized reference's clearing semantics.
 
 The reference allocates ONE flat SIMD arena per aligner (qp | DP rows | qi,
 ref simd_abpoa_realloc /root/reference/src/simd_abpoa_align.c:1178-1208) and
 only reallocates (free + malloc, content discarded) when a larger size is
-needed (kroundup64). Crucially it never clears the arena between alignment
-calls, and some DP reads (cells inside the snapped band but outside every
-predecessor's fill range, and unguarded backtrack probes) hit cells that the
-current call never wrote — i.e. the previous alignment's matrix. The
-outputs on multi-call runs therefore depend on this residue.
+needed (kroundup64). The STOCK build never clears the arena between
+alignment calls, and some DP reads (cells inside the snapped band but
+outside every predecessor's fill range, and unguarded backtrack probes) hit
+cells the current call never wrote — the previous alignment's matrix, i.e.
+undefined behavior (docs/REFERENCE_UB.md finding 2).
 
-To byte-match the reference we model the arena: a persistent byte buffer,
-grown with kroundup64 and zero-filled on growth (glibc serves these multi-MB
-blocks via mmap -> fresh zero pages; free+malloc of a bigger block discards
-old content), with per-call dtype/layout views exactly like the C code.
+The parity target is therefore the SANITIZED reference: arena cleared at
+the start of every alignment call (CANARY_BYTE; outputs are fill-byte
+independent, so zero = the defined semantics). This arena replicates that:
+a persistent byte buffer grown with kroundup64, zeroed on every layout()
+(= once per alignment call), with per-call dtype/layout views exactly like
+the C code. Fuzz seed 3212 (narrow-band linear seeded windows) is the
+counterexample where residue-preserving semantics diverged from the
+sanitized reference and dead-ended the backtrack.
 """
 from __future__ import annotations
 
@@ -60,6 +64,10 @@ class SimdArena:
         if has_qi:
             need += sn * size
         self.ensure(need)
+        # sanitized-reference semantics: clear per alignment call
+        # (ref patch in tests/golden/make_sanitized_ref.sh: memset of
+        # s_mem at the top of simd_abpoa_align_sequence_to_subgraph)
+        self.buf[:self.s_msize] = 0
         width = sn * (size // dtype().itemsize)  # == dp_sn * pn elements
         elems = self.buf.view(dtype)
         qp = elems[:m * width].reshape(m, width)

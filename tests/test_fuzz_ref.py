@@ -23,8 +23,10 @@ pytestmark = pytest.mark.skipif(
 # seeds chosen to span modes: global/local/extend, linear/affine/convex,
 # r0-r5, seeding, fastq+qv, aa, amb_strand, multi-consensus, incremental
 # -i restore (38, 90: GFA + MSA) (the campaign prints each seed's
-# config; see tools/fuzz_ref.py gen_case)
-SEEDS = [0, 2, 3, 6, 7, 10, 16, 19, 22, 23, 38, 90]
+# config; see tools/fuzz_ref.py gen_case). 3212 is the arena-residue
+# regression: narrow-band linear seeded windows whose backtrack
+# dead-ended before per-call arena clearing (docs/REFERENCE_UB.md).
+SEEDS = [0, 2, 3, 6, 7, 10, 16, 19, 22, 23, 38, 90, 3212]
 
 
 @pytest.mark.parametrize("seed", SEEDS)
