@@ -332,7 +332,35 @@ def main():
                          "ref_instances": ref_wall[0],
                          "ref_wall_s": round(ref_wall[1], 3)}})
 
+    # probe the device in a SUBPROCESS first: a dead tunnel blocks
+    # jax.devices() indefinitely in-process (no timeout mechanism), and
+    # a bench that only ever emits the provisional record when the
+    # tunnel is down captures no live measurement at all. On a dead
+    # probe, fall back to the CPU platform — clearly labeled — so the
+    # harness still produces a real end-to-end number.
+    device_fallback = None
+    probe_s = float(os.environ.get("ABPOA_BENCH_PROBE_S", "90"))
+    if probe_s > 0:
+        try:
+            pr = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                timeout=probe_s, capture_output=True)
+            if pr.returncode != 0:
+                device_fallback = f"probe rc={pr.returncode}"
+        except subprocess.TimeoutExpired:
+            device_fallback = f"probe timeout after {probe_s:.0f}s"
     import jax
+    if device_fallback:
+        emit({"metric": "dp_cells_per_s", "value": 0.0, "unit": "cells/s",
+              "vs_baseline": None,
+              "extras": {"status": "provisional", "fixture": FIXTURE,
+                         "instances": N_INSTANCES, "budget_s": BUDGET_S,
+                         "device_fallback":
+                             f"cpu ({device_fallback}; tunnel "
+                             f"unreachable — measuring the XLA engine "
+                             f"on the host CPU instead)"}})
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -374,6 +402,10 @@ def main():
               "e2e_seconds_median": round(
                   sorted(r[0] for r in reps)[len(reps) // 2], 4),
               "device": str(jax.devices()[0])}
+    if device_fallback:
+        extras["device_fallback"] = (
+            f"cpu ({device_fallback}) — NOT a TPU number: the tunnel "
+            f"was unreachable, this is the XLA engine on the host CPU")
 
     # ---- best-effort phases; each skips cleanly on low budget ---- #
     if left() > 60:
