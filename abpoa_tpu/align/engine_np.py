@@ -221,8 +221,9 @@ class _Ctx:
             row[0] = 0
             row[1:qlen + 1] = self.mat[k][self.query].astype(it)
             row[qlen + 1:] = 0
-        # DP planes: only reference-written ranges are touched; other cells
-        # keep the previous call's residue (required for byte parity)
+        # DP planes: only reference-written ranges are touched; other
+        # cells stay at the arena's per-call zero fill (sanitized-
+        # reference semantics, see arena.py / REFERENCE_UB.md)
         gm = params.gap_mode
         self.H = dp_v[:, 0, :]
         self.E1 = self.F1 = self.E2 = self.F2 = None
