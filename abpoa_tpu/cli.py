@@ -212,11 +212,14 @@ def main(argv=None) -> int:
     t0 = time.time()
     try:
         _run(params, in_list, pos, out)
-    except RuntimeError as e:
-        # fatal-path parity: the reference err_fatals to stderr and exits 1
-        # on invariant violations (e.g. backtrack dead ends,
-        # ref src/simd_abpoa_align.c:419, src/utils.c:91-123)
-        print(f"[abpoa_tpu] {e}", file=sys.stderr)
+    except (RuntimeError, IndexError) as e:
+        # fatal-path parity: the reference err_fatals/aborts to stderr
+        # and exits nonzero on invariant violations — backtrack dead
+        # ends (ref src/simd_abpoa_align.c:419, src/utils.c:91-123) and
+        # chaining allocator aborts on pathological rc'd seeded reads
+        # (kalloc 'N: <0 Abort!', observed at fuzz seed 7887 where the
+        # reference exits SIGABRT in abpoa_dp_chaining)
+        print(f"[abpoa_tpu] {type(e).__name__}: {e}", file=sys.stderr)
         if out is not sys.stdout:
             out.close()
         return 1

@@ -26,7 +26,10 @@ pytestmark = pytest.mark.skipif(
 # config; see tools/fuzz_ref.py gen_case). 3212 is the arena-residue
 # regression: narrow-band linear seeded windows whose backtrack
 # dead-ended before per-call arena clearing (docs/REFERENCE_UB.md).
-SEEDS = [0, 2, 3, 6, 7, 10, 16, 19, 22, 23, 38, 90, 3212]
+# 7887: failure-for-failure — the reference SIGABRTs in its chaining
+# allocator on a pathological rc'd seeded read; our CLI must also exit
+# nonzero (it does, with a clean one-line error)
+SEEDS = [0, 2, 3, 6, 7, 10, 16, 19, 22, 23, 38, 90, 3212, 7887]
 
 
 @pytest.mark.parametrize("seed", SEEDS)

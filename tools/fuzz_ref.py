@@ -217,15 +217,21 @@ ENGINE = None  # set by --engine: our side runs e.g. --engine jax
 
 
 def run_ours(inp: pathlib.Path, args: list[str], out: pathlib.Path):
-    """-> (rc, out_bytes, stderr_tail)"""
+    """-> (rc, out_bytes, stderr_tail). An exception out of cli.main is
+    a nonzero exit for the failure-for-failure contract (the reference's
+    analogs are err_fatal exits and SIGABRTs)."""
     from abpoa_tpu import cli
     if out.exists():
         out.unlink()
     eng = ["--engine", ENGINE] if ENGINE else []
     err = io.StringIO()
-    with contextlib.redirect_stdout(io.StringIO()), \
-            contextlib.redirect_stderr(err):
-        rc = cli.main([*args, *eng, "-o", str(out), str(inp)])
+    try:
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(err):
+            rc = cli.main([*args, *eng, "-o", str(out), str(inp)])
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        rc = 2
+        err.write(f" EXC {e!r}")
     body = out.read_bytes() if out.exists() else b""
     return rc, body, err.getvalue()[-200:]
 
