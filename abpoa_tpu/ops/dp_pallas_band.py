@@ -951,6 +951,24 @@ def make_band_kernel(cfg: BandConfig):
     return kernel
 
 
+def band_cells(cfg: BandConfig, scal, bsn, rowmask):
+    """Per-instance band cell count from the bsn (beg_sn|end_sn<<16)
+    output: swept rows are 1..n_rows-2, each contributing
+    (end_sn-beg_sn+1)*pn cells (telemetry analog of the reference's DP
+    footer, /root/reference/src/abpoa.c:146). Fresh (whole-graph)
+    dispatches ship rowmask as a 1-element dummy — the mask is a
+    subgraph concept and is semantically all-ones there, so it must NOT
+    gate the count (a dummy-zeros mask once zeroed dp_cells for every
+    plain-path round; caught by bench.py's vs_baseline=0 headline)."""
+    tix = jnp.arange(cfg.R, dtype=jnp.int32)[None, :]
+    live = (tix >= 1) & (tix <= scal[:, S_NROWS, None] - 2)
+    if not cfg.fresh:
+        live = live & (rowmask.astype(jnp.int32) > 0)
+    return jnp.sum(
+        jnp.where(live, ((bsn >> 16) - (bsn & H16) + 1) * cfg.pn, 0),
+        axis=1)
+
+
 @partial(jax.jit, static_argnums=(0, 12))
 def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
                       out_idx, out_n, remain, qcodes, mpl0, mpr0, rowmask,
@@ -1077,13 +1095,8 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
         # cell count from the band output (the kernel row loop skips the
         # per-row scalar accumulation; extend keeps it in-kernel because
         # z-drop can stop a sweep early)
-        tix = jnp.arange(R, dtype=i32)[None, :]
-        live = ((tix >= 1) & (tix <= scal[:, S_NROWS, None] - 2)
-                & (rowmask.astype(i32) > 0))
-        cells = jnp.sum(
-            jnp.where(live, ((bsn >> 16) - (bsn & H16) + 1) * cfg.pn, 0),
-            axis=1)
-        misc = misc.at[:, M_CELLS].set(cells)
+        misc = misc.at[:, M_CELLS].set(
+            band_cells(cfg, scal, bsn, rowmask))
     st = steps.reshape(B, LS)
     # delta-compress the step stream on device: i/j are non-increasing
     # along the walk and pred jumps fit 13 bits (di <= R-1 < 4096)

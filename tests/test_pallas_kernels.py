@@ -255,3 +255,31 @@ def test_pre_delta_encoding():
     big = [None, None, pre.reshape(1, R2 * P2), pn2]
     enc2 = _pre_deltas(big, R2, P2)
     assert enc2[2].dtype == np.int16
+
+
+def test_band_cells_fresh_ignores_dummy_rowmask():
+    """dp_cells accounting: plain (fresh=True) dispatches ship rowmask as
+    a 1-element zeros dummy (parallel/batch.py dummy_out slot 10) — the
+    count must treat it as all-ones. Regression: a dummy-gated mask
+    zeroed dp_cells for every plain-path round, so bench.py's headline
+    read value=0 / vs_baseline=0 despite correct consensus output."""
+    from abpoa_tpu.ops.dp_pallas_band import BandConfig, band_cells
+    from abpoa_tpu.ops.dp_pallas import S_NROWS, S_NSCAL
+    B, R, pn = 2, 8, 2
+    scal = np.zeros((B, S_NSCAL), np.int32)
+    scal[0, S_NROWS] = 6
+    scal[1, S_NROWS] = 8
+    # every row spans snapshots [0, 2] -> 3 snapshots * pn cells/row
+    bsn = np.full((B, R), 2 << 16, np.int32)
+    cfg = BandConfig(0, 0, pn, R, 128, 128, 2, 2, 5, False, 64, 1,
+                     fresh=True)
+    dummy = np.zeros((B, 1), np.int8)
+    got = np.asarray(band_cells(cfg, scal, bsn, dummy))
+    # swept rows are 1..n_rows-2: 4 rows and 6 rows respectively
+    assert got.tolist() == [4 * 3 * pn, 6 * 3 * pn]
+    # subgraph (fresh=False) dispatches ship the real mask and it gates
+    cfg2 = cfg._replace(fresh=False)
+    rowmask = np.ones((B, R), np.int8)
+    rowmask[0, 2] = 0
+    got2 = np.asarray(band_cells(cfg2, scal, bsn, rowmask))
+    assert got2.tolist() == [3 * 3 * pn, 6 * 3 * pn]
