@@ -7,9 +7,10 @@ fetched planes, reusing the oracle's backtrack verbatim so the M->D->I /
 indel_first tie-breaking (ref /root/reference/src/simd_abpoa_align.c:107-123)
 is shared code with the bit-exact engine.
 
-Scope: whole-graph alignment (beg=SRC, end=SINK). Subgraph (anchored window)
-calls currently dispatch to the host oracle; windows become batch instances
-in parallel/batch.py.
+Scope: whole-graph AND subgraph (anchored window) alignment — align/__init__
+routes subgraph calls to align_sequence_to_subgraph_device via the same
+export (beg_index/end_index slice the topological interval); windows also
+become batch instances in parallel/batch.py.
 """
 from __future__ import annotations
 

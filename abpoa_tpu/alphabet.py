@@ -33,9 +33,6 @@ NT256_TABLE[ord("U")] = ord("T"); NT256_TABLE[ord("u")] = ord("T")
 AA26_TABLE = np.full(256, 26, dtype=np.uint8)
 for _i in range(27):
     AA26_TABLE[_i] = _i
-_AA_ORDER = "ACGTNBDEFHIJKLMOPQRSUVWXYZ"  # code of each letter, ref row 4
-for _code, _c in enumerate(_AA_ORDER):
-    pass
 # per ref: A->0 B->5 C->1 D->6 E->7 F->8 G->2 H->9 I->10 J->11 K->12 L->13
 #          M->14 N->4 O->15 P->16 Q->17 R->18 S->19 T->3 U->20 V->21 W->22
 #          X->23 Y->24 Z->25
