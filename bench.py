@@ -154,8 +154,14 @@ def _reference_cells_per_s(ref_wall, fixture, cells_per_instance,
     return float("nan")
 
 
-def _headline(bp, e2e, ref_rate, extras_extra=None):
-    value = bp.dp_cells / e2e
+def _headline(bp, e2e, ref_rate, extras_extra=None, e2e_med=None):
+    """Headline record. The OFFICIAL value/vs_baseline are computed off
+    the MEDIAN rep (round-3 verdict: min-of-N flattered by 2.3x on the
+    noisy tunnel); the best rep is reported alongside in extras."""
+    if e2e_med is None:
+        e2e_med = e2e
+    value = bp.dp_cells / e2e_med
+    best_value = bp.dp_cells / e2e
     out = {
         "metric": "dp_cells_per_s",
         "value": round(value, 1),
@@ -168,8 +174,13 @@ def _headline(bp, e2e, ref_rate, extras_extra=None):
             "dp_cells": bp.dp_cells,
             "dp_seconds": round(bp.dp_seconds, 4),
             "dp_busy_seconds": round(bp.dp_busy_seconds(), 4),
-            "e2e_seconds": round(e2e, 4),
-            "windows_per_s": round(N_INSTANCES / e2e, 4),
+            "e2e_seconds_median": round(e2e_med, 4),
+            "e2e_seconds_best": round(e2e, 4),
+            "headline_rep": "median",
+            "best_cells_per_s": round(best_value, 1),
+            "best_vs_baseline": round(best_value / ref_rate, 4)
+            if ref_rate == ref_rate else None,
+            "windows_per_s": round(N_INSTANCES / e2e_med, 4),
             "ref_cells_per_s": round(ref_rate, 1) if ref_rate == ref_rate
             else None,
             "budget_s": BUDGET_S,
@@ -182,12 +193,40 @@ def _headline(bp, e2e, ref_rate, extras_extra=None):
 
 
 # ------------------------------------------------------------------ #
+# Roofline model for the banded DP (BASELINE.md "DP-cells/s/chip vs
+# roofline"). Ops/cell counts the int ALU work of the convex-gap
+# recurrence as the kernel computes it (dp_pallas_band row body): per
+# cell it forms M = H[pre]+qp, E1/E2 extend-vs-open maxes, F1/F2 via the
+# in-row prefix scan, the 5-way H max, backtrack-bit packing and the
+# band/rowmax bookkeeping — ~30 int ops. The VPU peak is 8x128 lanes x
+# 2 issue x ~1.74 GHz ~= 3.56e12 int32 ops/s on a v5e core (int16
+# doubles the lanes). The kernel is compute-bound: all planes are
+# VMEM-resident, HBM traffic per round is only the control/steps
+# streams, so the ridge point is far to the left of the working set.
+OPS_PER_CELL = 30
+VPU_PEAK_INT32 = 8 * 128 * 2 * 1.74e9
+
+
+def _roofline(cells_per_s: float) -> dict:
+    return {"ops_per_cell": OPS_PER_CELL,
+            "vpu_peak_int_ops": VPU_PEAK_INT32,
+            "roofline_pct": round(
+                100.0 * cells_per_s * OPS_PER_CELL / VPU_PEAK_INT32, 4)}
+
+
 def _bench_kernel_rate(captured):
-    """Chained-dispatch kernel-only rate: replay the largest captured
-    round K times back-to-back with one readback. The tunnel's
-    block_until_ready does not actually block (CLAUDE.md), so completion
-    is forced through a device->host readback of the last output."""
+    """On-chip kernel-only rate via a DEVICE-SIDE chained replay: K
+    invocations of the largest captured round run inside one jitted
+    lax.scan (an optimization_barrier threads the inputs through the
+    carry so XLA cannot hoist the loop-invariant call), so the whole
+    chain is ONE dispatch + ONE readback and the per-call tunnel RTT
+    (~25 ms here) amortizes to nothing. The old host-side loop paid the
+    RTT per call and measured the tunnel, not the chip (round-3 verdict:
+    66 ms/round vs the true ~5-8 ms). The tunnel's block_until_ready
+    does not actually block (CLAUDE.md), so completion is forced through
+    a device->host readback of the accumulated scalar."""
     import jax
+    import jax.numpy as jnp
     from abpoa_tpu.ops import dp_pallas as dpp
     if not captured:
         return None
@@ -198,17 +237,36 @@ def _bench_kernel_rate(captured):
     out = kern_fn(*stacked)
     misc = jax.device_get(out.misc)          # readback = real barrier
     cells = int(misc[:nb, dpp.M_CELLS].sum())
-    K = int(os.environ.get("ABPOA_BENCH_KERNEL_K", "8"))
-    t0 = time.perf_counter()
-    for _ in range(K):
-        out = kern_fn(*stacked)
-    jax.device_get(out.misc[:1, :1])
-    dt = time.perf_counter() - t0
-    return {"kernel_cells_per_s": round(K * cells / dt, 1),
-            "kernel_chain_K": K,
-            "kernel_round_ms": round(dt / K * 1e3, 3),
-            "kernel_round_cells": cells,
-            "kernel_batch": nb}
+    K = int(os.environ.get("ABPOA_BENCH_KERNEL_K", "32"))
+
+    @jax.jit
+    def chain(args):
+        def body(carry, _):
+            acc, a = carry
+            a = jax.lax.optimization_barrier(a)
+            o = kern_fn(*a)
+            # fold a result scalar into the carry so no iteration is dead
+            acc = acc + o.misc[0, dpp.M_CELLS]
+            return (acc, a), None
+        (acc, _), _ = jax.lax.scan(body, (jnp.int32(0), args), length=K)
+        return acc
+
+    jax.device_get(chain(stacked))           # compile + warm
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(chain(stacked))
+        reps.append(time.perf_counter() - t0)
+    dt = min(reps)
+    rate = K * cells / dt
+    rec = {"kernel_cells_per_s": round(rate, 1),
+           "kernel_chain_K": K,
+           "kernel_chain": "device-side lax.scan, 1 dispatch",
+           "kernel_round_ms": round(dt / K * 1e3, 3),
+           "kernel_round_cells": cells,
+           "kernel_batch": nb}
+    rec.update(_roofline(rate))
+    return rec
 
 
 def _bench_transport(captured):
@@ -377,9 +435,9 @@ def main():
     BatchPOA(Params().post_set()).run_consensus(instances)
     batch_mod.KERNEL_CAPTURE = None
 
-    # timed reps, adaptive: min-of-N because host/tunnel interference is
-    # one-sided (only ever adds time); rep 1 lands the headline, later
-    # reps only run while less than half the budget is spent
+    # timed reps, adaptive: the headline is the MEDIAN rep (min-of-N
+    # flattered by 2.3x in round 3); later reps only run while less
+    # than half the budget is spent
     reps = []
     cons = None
     while len(reps) < 5:
@@ -391,48 +449,71 @@ def main():
             cons = c
             assert all(x == cons[0] for x in cons)
         e2e, best = min(reps, key=lambda x: x[0])
+        e2e_med = sorted(r[0] for r in reps)[len(reps) // 2]
         cpi = best.dp_cells // N_INSTANCES
         ref_rate = _reference_cells_per_s(ref_wall, FIXTURE, cpi)
-        emit(_headline(best, e2e, ref_rate, {"reps": len(reps)}))
+        emit(_headline(best, e2e, ref_rate, {"reps": len(reps)},
+                       e2e_med=e2e_med))
         if time.monotonic() - T_START > 0.5 * BUDGET_S:
             break
     # one-shot opt-in baseline update from the settled best rep
     _reference_cells_per_s(ref_wall, FIXTURE, cpi, update=True)
-    extras = {"reps": len(reps),
-              "e2e_seconds_median": round(
-                  sorted(r[0] for r in reps)[len(reps) // 2], 4),
-              "device": str(jax.devices()[0])}
+    extras = {"reps": len(reps), "device": str(jax.devices()[0])}
+    extras.update(_roofline(best.dp_cells / e2e_med))
     if device_fallback:
         extras["device_fallback"] = (
             f"cpu ({device_fallback}) — NOT a TPU number: the tunnel "
             f"was unreachable, this is the XLA engine on the host CPU")
 
+    def _emit():
+        emit(_headline(best, e2e, ref_rate, extras, e2e_med=e2e_med))
+
     # ---- best-effort phases; each skips cleanly on low budget ---- #
-    if left() > 60:
+    if left() > 45:
         try:
             kr = _bench_kernel_rate(captured)
             if kr:
                 extras.update(kr)
         except Exception as e:  # never let an extra kill the headline
             extras["kernel_error"] = repr(e)
-        emit(_headline(best, e2e, ref_rate, extras))
+        _emit()
+
+    # config-5 seeded workload right after the kernel rate: round 3 ran
+    # it last and the budget wall ate it (BASELINE.json configs[4] is a
+    # north-star config, it must land in the artifact)
+    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "1024"))
+    if n_seeded and left() > 100:
+        try:
+            extras["seeded"] = _bench_seeded(reads, n_seeded)
+        except Exception as e:
+            extras["seeded"] = {"error": repr(e)}
+        _emit()
 
     if left() > 45:
         try:
             tr = _bench_transport(captured)
             if tr:
                 extras["transport"] = tr
-                # projected rate on a directly-attached chip: replace
-                # the measured e2e with kernel time + host share (e2e
-                # minus device-busy minus transport floor is host work
-                # already overlapped by the pipeline; conservatively
-                # keep it): e2e - (transport floor x rounds)
-                if "transport_floor_ms_per_round" in tr and best.rounds:
-                    floor_s = (tr["transport_floor_ms_per_round"] / 1e3
-                               * best.rounds)
-                    proj = max(e2e - floor_s, best.dp_seconds)
+                # projected e2e on a directly-attached chip (no tunnel),
+                # anchored to MEASURED on-chip quantities: it can be no
+                # smaller than the chip's serial kernel time for all
+                # rounds (rounds x chained-replay round time, scaled to
+                # the mean round's cells) and no larger than the
+                # measured e2e (removing transport cannot slow it) —
+                # round 3's projection violated that and came out SLOWER
+                # than the tunneled measurement.
+                if "kernel_round_ms" in extras and best.rounds:
+                    mean_cells = best.dp_cells / best.rounds
+                    kern_round_s = (extras["kernel_round_ms"] / 1e3
+                                    * mean_cells
+                                    / extras["kernel_round_cells"])
+                    kern_total = kern_round_s * best.rounds
+                    floor_s = (tr.get("transport_floor_ms_per_round", 0)
+                               / 1e3 * best.rounds)
+                    proj = min(e2e, max(kern_total, e2e - floor_s))
                     extras["projected_no_tunnel"] = {
                         "e2e_seconds": round(proj, 4),
+                        "kernel_total_seconds": round(kern_total, 4),
                         "cells_per_s": round(best.dp_cells / proj, 1),
                         "vs_baseline": (round(best.dp_cells / proj
                                               / ref_rate, 4)
@@ -440,7 +521,7 @@ def main():
                         "rounds": best.rounds}
         except Exception as e:
             extras["transport_error"] = repr(e)
-        emit(_headline(best, e2e, ref_rate, extras))
+        _emit()
     del captured
 
     if os.environ.get("ABPOA_BENCH_MESH", "1") == "1" and left() > 60:
@@ -460,16 +541,8 @@ def main():
                                   N_INSTANCES / mesh_e2e, 4)}
         except Exception as e:
             extras["mesh"] = {"error": repr(e)}
-        emit(_headline(best, e2e, ref_rate, extras))
 
-    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "512"))
-    if n_seeded and left() > 120:
-        try:
-            extras["seeded"] = _bench_seeded(reads, n_seeded)
-        except Exception as e:
-            extras["seeded"] = {"error": repr(e)}
-
-    emit(_headline(best, e2e, ref_rate, extras))
+    _emit()
     _STATE["done"] = True
 
 
