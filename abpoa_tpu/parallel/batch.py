@@ -156,6 +156,7 @@ class BatchPOA:
         self.rounds = 0
         self._weights = None       # per-instance per-read qv weights
         self._rid0 = []            # per-instance read-id offset (-i)
+        self.used_device_loop = False  # single-dispatch loop engaged
 
     # -------------------------------------------------------------- #
     def _device_call(self, cfg, batched):
@@ -210,6 +211,21 @@ class BatchPOA:
         params = self.params
         self._weights = weights
         abs_, self._rid0 = _make_aligners(instances, params, init)
+        dl = _DeviceLoop(self, abs_, instances)
+        if dl.eligible():
+            try:
+                if dl.run():
+                    return abs_
+            except Exception as e:
+                # fail safe to the round-based path: wipe the read-0
+                # fusions the loop setup performed so the standard loop
+                # starts from clean graphs
+                import sys as _sys
+                print(f"[abpoa_tpu] device loop failed ({e!r}); "
+                      f"falling back to the round-based path",
+                      file=_sys.stderr)
+                for ab in abs_:
+                    ab.graph.reset()
         if (self._effective_engine() == "pallas" and len(instances) >= 4
                 and self.pipeline):
             self._run_pipelined(abs_, instances)
@@ -1075,3 +1091,183 @@ def batch_msa_from_files(params, fns, out):
         # the input file's record names
         ab.names = list(ab.names[:ab.n_seq - len(nm)]) + nm
         ab.output(params, out)
+
+
+# ---------------------------------------------------------------------- #
+# device-resident loop dispatch (ops/poa_loop.py): the whole progressive
+# POA loop in ONE device dispatch — no per-round host round trip.
+
+def _loop_geometry(params, instances):
+    """Static LoopConfig for a batch, or None if outside the v1 envelope
+    (the round-based path then runs instead)."""
+    from ..align.engine_np import score_width_dispatch
+    from ..align.engine_jax import pick_WB
+    from ..ops.poa_loop import LoopConfig
+    from ..ops.dp_pallas_band import pick_band_G
+    lens = [len(q) for reads in instances for q in reads]
+    if not lens:
+        return None
+    maxlen = max(lens)
+    NR = max(len(reads) for reads in instances) - 1
+    if NR < 1 or maxlen < 1:
+        return None
+    # node capacity: progressive graphs grow to ~maxlen + variants; cap
+    # to keep the DP kernel at G=16 when possible, overflowing instances
+    # fall back to the oracle
+    R = min(4096, (int(maxlen + max(96, maxlen // 4)) + 63) // 64 * 64)
+    R = max(R, 128)
+    bits, pn, _ln, inf_min = score_width_dispatch(params, R, maxlen)
+    if bits != 16:
+        return None       # pn would vary per round; host path handles it
+    WB = pick_WB(params, maxlen, pn)
+    Wq = ((maxlen // 128) + 1) * 128
+    Wq = (Wq + WB - 1) // WB * WB
+    LS = (R + Wq + 63) // 64 * 64
+    if Wq >= 32000 or R > 4096:
+        return None
+    G = pick_band_G(params.gap_mode, R, WB, 8, params.m, LS)
+    if G < 4:
+        return None
+    GT = 8 if R <= 1536 else 4     # topo kernel SMEM budget
+    return LoopConfig(R=R, E=12, P=8, A=4, Wq=Wq, WB=WB, LS=LS, NR=NR,
+                      B=0, G=G, GT=GT, pn=pn, inf_min=inf_min,
+                      gap_mode=params.gap_mode,
+                      use_zdrop=params.zdrop > 0)
+
+
+class _DeviceLoop:
+    """One batched device-loop execution (state build, dispatch, replay)."""
+
+    def __init__(self, bp: "BatchPOA", abs_, instances):
+        self.bp = bp
+        self.abs_ = abs_
+        self.instances = instances
+
+    def eligible(self):
+        import os
+        bp, p = self.bp, self.bp.params
+        if os.environ.get("ABPOA_DEVICE_LOOP", "1") == "0":
+            return False
+        if bp._effective_engine() != "pallas" or bp.mesh is not None:
+            return False
+        if _interpret() and os.environ.get("ABPOA_DEVICE_LOOP") != "1":
+            # interpret-mode compiles of the whole scanned loop take
+            # minutes per shape bucket; only run it when explicitly
+            # requested (tests/fuzz campaigns opt in)
+            return False
+        from ..params import GLOBAL_MODE
+        if (p.align_mode != GLOBAL_MODE or p.wb < 0 or p.amb_strand
+                or p.rev_cigar or p.m != 5
+                or bp._weights is not None
+                or any(r0 != 0 for r0 in bp._rid0)):
+            return False
+        self.cfg = _loop_geometry(p, self.instances)
+        return self.cfg is not None
+
+    def run(self):
+        import time
+        import jax
+        import jax.numpy as jnp
+        from ..ops import poa_loop as pls
+        from ..ops import dp_pallas as dpp
+        bp, params = self.bp, self.bp.params
+        abs_, instances = self.abs_, self.instances
+        cfg0 = self.cfg
+        n = len(instances)
+        # fuse read 0 + sort on the host (cheap C work, once)
+        for k, reads in enumerate(instances):
+            ab = abs_[k]
+            if reads:
+                ab.graph.add_graph_alignment(
+                    params, reads[0], [1] * len(reads[0]), [], None,
+                    bp._rid(k, 0), True)
+                ab.graph.topological_sort(params)
+        live = [k for k, reads in enumerate(instances)
+                if len(reads) >= 2]
+        if not live:
+            return True
+        chunk = int(np.lcm(cfg0.G, cfg0.GT))
+        B = max(chunk, -(-len(live) // chunk) * chunk)
+        cfg = cfg0._replace(B=B)
+        graphs = [abs_[k].graph for k in live]
+        graphs += [graphs[0]] * (B - len(live))       # pad replicas
+        st, i2n, n2i, remain = pls.init_state_np(graphs, cfg)
+        qc = np.zeros((cfg.NR, B, cfg.Wq), np.int8)
+        ql = np.zeros((cfg.NR, B), np.int32)
+        for b, k in enumerate(live):
+            for r, q in enumerate(instances[k][1:]):
+                qc[r, b, 1:len(q) + 1] = q
+                ql[r, b] = len(q)
+        scal_base = pls.make_scal_base(params, cfg)
+        interp = _interpret()
+        loop = pls.poa_device_loop_jit(cfg, interpret=interp)
+        bp.used_device_loop = True
+        t0 = time.perf_counter()
+        stF, misc_d, s16_d = loop(
+            jax.tree.map(jnp.asarray, st), jnp.asarray(i2n),
+            jnp.asarray(n2i), jnp.asarray(remain), jnp.asarray(qc),
+            jnp.asarray(ql), jnp.asarray(scal_base),
+            jnp.int32(params.wb), jnp.int32(round(params.wf * 1000)))
+        # fetch: misc + capped step streams (over-cap rows refetched)
+        maxlen = int(ql.max())
+        cap = min(cfg.LS, (maxlen + max(96, maxlen // 4) + 63)
+                  // 64 * 64)
+        misc, s16, failv = jax.device_get(
+            (misc_d, s16_d[:, :, :cap], stF.fail))
+        t1 = time.perf_counter()
+        bp.dp_seconds += t1 - t0
+        bp.dp_intervals.append((t0, t1))
+        bp.rounds += cfg.NR
+        ok_mask = failv == 0
+        cells = 0
+        for b, k in enumerate(live):
+            if ok_mask[b]:
+                nr_k = len(instances[k]) - 1
+                cells += int(misc[:nr_k, b, dpp.M_CELLS].sum())
+        bp.dp_cells += cells
+
+        from ..ops import bt_xla
+        from ..graph import NativeGraph
+
+        def replay_one(b_k):
+            b, k = b_k
+            ab = abs_[k]
+            reads = instances[k]
+            if not ok_mask[b]:
+                # sticky device failure: rebuild the instance on the
+                # bit-exact oracle from scratch
+                bp.fallbacks += 1
+                ab.graph.reset()
+                for r, q in enumerate(reads):
+                    ab.poa_one(params, q, [1] * len(q), bp._rid(k, r))
+                return
+            g = ab.graph
+            for r, q in enumerate(reads[1:]):
+                mi = misc[r, b]
+                nst = int(mi[dpp.M_NSTEPS])
+                row = s16[r, b]
+                if nst > row.shape[0]:
+                    row = jax.device_get(s16_d[r, b, :nst])
+                steps32 = bt_xla.unpack_steps16(
+                    row, nst, int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
+                if not g.is_topological_sorted:
+                    g.topological_sort(params)
+                if isinstance(g, NativeGraph):
+                    g.fuse_steps(params, 0, steps32, nst,
+                                 int(mi[dpp.M_BJ]), int(mi[dpp.M_ENDJ]),
+                                 q, bp._rid(k, r + 1), True)
+                else:
+                    from ..align.engine_np import AlignResult
+                    res = AlignResult()
+                    bt_xla.replay_steps(g, params, np.asarray(q),
+                                        steps32, nst,
+                                        int(mi[dpp.M_BI]),
+                                        int(mi[dpp.M_BJ]),
+                                        int(mi[dpp.M_ENDI]),
+                                        int(mi[dpp.M_ENDJ]), res)
+                    g.add_graph_alignment(params, q, [1] * len(q),
+                                          res.cigar, None,
+                                          bp._rid(k, r + 1), True)
+
+        list(_host_pool().map(replay_one, enumerate(live)))
+        return True
