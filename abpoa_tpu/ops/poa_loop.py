@@ -70,6 +70,9 @@ class LoopConfig(NamedTuple):
     inf_min: int
     gap_mode: int
     use_zdrop: bool
+    wbits: int = 4   # out-edge weight bits packed above the 16-wbits id
+    #                  bits in the graph kernel (unit weights: max edge
+    #                  weight = reads per instance; dispatcher sizes it)
 
 
 class GState(NamedTuple):
@@ -307,6 +310,7 @@ def make_topo_kernel(cfg: LoopConfig):
     R, E, A, G = cfg.R, cfg.E, cfg.A, cfg.GT
     E2 = E // 2
     A2 = (A + 1) // 2
+    IDM = 0xFFFF    # topo-only kernel: halves carry plain node ids
 
     def kernel(outp, alp, noa, indeg_in, nn, i2n_o, n2i_o, ok_o,
                indeg, q, stv):
@@ -326,7 +330,7 @@ def make_topo_kernel(cfg: LoopConfig):
 
         def out_at(g, u, e):
             w = outp[0, g, u * E2 + (e >> 1)]
-            return (w >> (16 * (e & 1))) & 0xFFFF
+            return (w >> (16 * (e & 1))) & IDM
 
         def al_at(g, u, a):
             w = alp[0, g, u * A2 + (a >> 1)]
@@ -374,12 +378,19 @@ def make_topo_kernel(cfg: LoopConfig):
                                         q[g, t0 + 1 + a] = al_at(g, v, a)
                                 stv[g, SV_TAIL] = t0 + 1 + na_v
 
+        # multiple pops per while iteration: a pop pushes its ready
+        # successors BEFORE the next pop's head<tail check, so chain
+        # graphs (the common case) advance KP nodes per trip and the
+        # loop overhead amortizes KP ways
+        KP = 4
+
         def body(alive):
-            for g in range(G):
-                @pl.when((stv[g, SV_DONE] == 0)
-                         & (stv[g, SV_HEAD] < stv[g, SV_TAIL]))
-                def _(g=g):
-                    pop(g)
+            for _ in range(KP):
+                for g in range(G):
+                    @pl.when((stv[g, SV_DONE] == 0)
+                             & (stv[g, SV_HEAD] < stv[g, SV_TAIL]))
+                    def _(g=g):
+                        pop(g)
             na = jnp.int32(0)
             for g in range(G):
                 na += jnp.where((stv[g, SV_DONE] == 0)
@@ -523,6 +534,18 @@ __all__ = ["LoopConfig", "GState", "fuse_batch", "topo_batch",
 # ------------------------------------------------------------------ #
 # one full device round + the scanned loop
 
+# phase-ablation switch for performance attribution (bench/debug only):
+# items in this set are SKIPPED inside device_round — results are wrong,
+# timings isolate the remaining phases. e.g. {"topo"} or {"fuse","topo"}.
+ABLATE: frozenset = frozenset()
+
+# fusion/toposort implementation: "kernel" = the merged scalar-SMEM
+# Pallas graph kernel (one program, ~5x cheaper than the XLA scatters
+# on TPU); "xla" = the vectorized fuse_batch + topo_batch pair (kept as
+# the cross-checked second implementation; tests compare both).
+FUSE_IMPL = "kernel"
+
+
 def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
                  qlen, scal_base, wb, wf1000, interpret=False):
     """One POA round entirely on device: DP+walk on the current planes,
@@ -545,11 +568,23 @@ def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
         pre_idx.reshape(B, cfg.R * cfg.P).astype(i16),
         pre_nn.astype(i8), dummy, dummy, remain_row.astype(i16),
         qcodes.astype(i8), dummy, dummy, dummy, interpret=interpret)
-    st2 = fuse_batch(cfg, st, i2n, out.steps, out.misc, qcodes, qlen)
-    i2n2, n2i2, ok = topo_batch(cfg, st2, interpret=interpret)
-    fail = st2.fail | ((ok == 0) & (qlen > 0)).astype(jnp.int32)
-    st2 = st2._replace(fail=fail)
-    remain2 = remain_batch(cfg, st2)
+    if FUSE_IMPL == "kernel" and not (ABLATE & {"fuse", "topo"}):
+        st2, i2n2, n2i2 = graph_update_batch(
+            cfg, st, i2n, out.steps, out.misc, qcodes, qlen,
+            interpret=interpret)
+    else:
+        if "fuse" in ABLATE:
+            st2 = st
+        else:
+            st2 = fuse_batch(cfg, st, i2n, out.steps, out.misc, qcodes,
+                             qlen)
+        if "topo" in ABLATE:
+            i2n2, n2i2 = i2n, n2i
+        else:
+            i2n2, n2i2, ok = topo_batch(cfg, st2, interpret=interpret)
+            fail = st2.fail | ((ok == 0) & (qlen > 0)).astype(jnp.int32)
+            st2 = st2._replace(fail=fail)
+    remain2 = remain if "remain" in ABLATE else remain_batch(cfg, st2)
     return st2, i2n2, n2i2, remain2, out.misc, out.steps16
 
 
@@ -664,3 +699,440 @@ def make_scal_base(params, cfg: LoopConfig):
     scal[dpp.S_ZDROP] = params.zdrop
     scal[dpp.S_NSCAL:] = np.asarray(params.mat, dtype=np.int64).reshape(-1)
     return scal
+
+
+# ------------------------------------------------------------------ #
+# merged graph kernel: scalar-SMEM fusion replay + Kahn toposort in ONE
+# Pallas program. The XLA fuse_batch is semantically identical but its
+# scatters serialize on TPU (~77 ms/round at B=64, the round-4 phase
+# ablation); the scalar replay is a direct transcription of the C
+# semantics (native/poagraph.c pg_fuse_steps; ref src/abpoa_graph.c:
+# 596-672) at ~ns/op in SMEM. State crosses as packed 16-bit halves and
+# is mutated in place via input_output_aliasing.
+
+def make_graph_kernel(cfg: LoopConfig):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    R, E, P, A, G, LS = cfg.R, cfg.E, cfg.P, cfg.A, cfg.GT, cfg.LS
+    E2, P2, A2 = E // 2, P // 2, (A + 1) // 2
+    WB_ = cfg.wbits
+    IDB = 16 - WB_
+    IDM = (1 << IDB) - 1
+    WONE = 1 << IDB        # +1 to the packed weight
+    LS2 = LS // 2
+    # ctrl word: base(3) | n_out(4)<<3 | n_al(3)<<7 | n_in(4)<<10
+    # out halves: id(IDB) | weight(WB_)<<IDB — R <= 2^IDB and per-edge
+    # weight < 2^WB_ are eligibility guards in the dispatcher
+    (FS_T, FS_LAST, FS_LNEW, FS_NN, FS_FAIL, FS_LIVE, FS_DONE,
+     FS_QID) = range(8)
+    (SV_HEAD, SV_TAIL, SV_IDX, SV_DONE) = range(4)
+
+    def kernel(msc, i2n_in, steps, qp4,
+               ctrl_i, outp_i, inp_i, alp_i,
+               ctrl, outp, inp, alp,
+               i2n_o, n2i_o, stat_o,
+               indeg, q, fsv, stv):
+        # The state lives in the OUTPUT refs. Output SMEM blocks are NOT
+        # initialized from the aliased HBM buffers on the compiled
+        # backend (aliasing only donates HBM), so copy the input blocks
+        # in explicitly before mutating.
+        def cp_in(t, c):
+            for g in range(G):
+                ctrl[0, g, t] = ctrl_i[0, g, t]
+                for e in range(E2):
+                    outp[0, g, t * E2 + e] = outp_i[0, g, t * E2 + e]
+                for pp in range(P2):
+                    inp[0, g, t * P2 + pp] = inp_i[0, g, t * P2 + pp]
+                for a in range(A2):
+                    alp[0, g, t * A2 + a] = alp_i[0, g, t * A2 + a]
+            return c
+        jax.lax.fori_loop(0, R, cp_in, 0)
+
+        def half_get(ref, g, base_w, k):
+            w = ref[0, g, base_w + (k >> 1)]
+            return (w >> (16 * (k & 1))) & 0xFFFF
+
+        # -- scalar helpers operating on the packed state (per g) --
+        def ctrl_at(g, v):
+            return ctrl[0, g, v]
+
+        def out_at(g, u, e):
+            w = outp[0, g, u * E2 + (e >> 1)]
+            return (w >> (16 * (e & 1))) & IDM
+
+        def al_at(g, u, a):
+            w = alp[0, g, u * A2 + (a >> 1)]
+            return (w >> (16 * (a & 1))) & 0xFFFF
+
+        def half_set(ref, g, word_i, k, val):
+            w = ref[0, g, word_i]
+            sh = 16 * (k & 1)
+            ref[0, g, word_i] = (w & ~(0xFFFF << sh)) \
+                | ((val & 0xFFFF) << sh)
+
+        def al_append(g, x, val):
+            """push val onto x's aligned list (cap-checked by caller)."""
+            cm = ctrl[0, g, x]
+            na = (cm >> 7) & 7
+            half_set(alp, g, x * A2 + (na >> 1), na, val)
+            ctrl[0, g, x] = cm + (1 << 7)
+
+        def fuse_step(g):
+            t = fsv[g, FS_T]
+            ej = msc[0, g, 1]
+            nst = msc[0, g, 3]
+            in_lead = t < ej
+            in_tail = t >= ej + nst
+            k = jnp.clip(nst - 1 - (t - ej), 0, LS - 1)
+            # steps packed 2/word: op(2) | row(12) << 2 per 16-bit half
+            enc = (steps[0, g, k >> 1] >> (16 * (k & 1))) & 0xFFFF
+            op = jnp.where(in_lead | in_tail, 1, enc & 3)
+            fsv[g, FS_T] = t + 1
+
+            @pl.when(op != 2)          # DEL consumes nothing
+            def _():
+                # query position: incremental counter, exactly the C
+                # query_id (col is not shipped; M/I consume one base)
+                qid = fsv[g, FS_QID] + 1
+                fsv[g, FS_QID] = qid
+                qb = (qp4[0, g, (qid + 1) >> 2]
+                      >> (8 * ((qid + 1) & 3))) & 0xFF
+                is_m = op == 0
+                row = enc >> 2
+                nid = i2n_in[0, g, row]
+                cw = ctrl[0, g, nid]
+                gb = cw & 7
+                na = (cw >> 7) & 7
+                m_match = is_m & (gb == qb)
+                aid = jnp.int32(-1)
+                for a in range(A):
+                    av = al_at(g, nid, a)
+                    hit = (a < na) & ((ctrl[0, g, av] & 7) == qb)
+                    aid = jnp.where((aid < 0) & hit, av, aid)
+                m_aid = is_m & jnp.logical_not(m_match) & (aid >= 0)
+                is_new = jnp.logical_not(m_match | m_aid)
+                nn_cur = fsv[g, FS_NN]
+                to = jnp.where(m_match, nid,
+                               jnp.where(m_aid, aid, nn_cur))
+                fail_cap = is_new & (nn_cur >= R)
+                fsv[g, FS_FAIL] = fsv[g, FS_FAIL] \
+                    | fail_cap.astype(jnp.int32)
+
+                @pl.when(is_new & jnp.logical_not(fail_cap))
+                def _():
+                    ctrl[0, g, nn_cur] = qb
+                    fsv[g, FS_NN] = nn_cur + 1
+
+                    # aligned bundling for mismatch-created nodes
+                    # (all-pairs, ref src/abpoa_graph.c:377-401)
+                    @pl.when(is_m)
+                    def _():
+                        ov = (na + 1 > A).astype(jnp.int32)
+                        fsv[g, FS_FAIL] = fsv[g, FS_FAIL] | ov
+
+                        @pl.when(ov == 0)
+                        def _():
+                            for a in range(A):
+                                @pl.when(a < na)
+                                def _(a=a):
+                                    m = al_at(g, nid, a)
+                                    al_append(g, m, to)
+                                    al_append(g, to, m)
+                            al_append(g, nid, to)
+                            al_append(g, to, nid)
+
+                # edge last -> to, unit weight
+                last = fsv[g, FS_LAST]
+                lnew = fsv[g, FS_LNEW] > 0
+                lcw = ctrl[0, g, last]
+                no = (lcw >> 3) & 15
+                slot = jnp.int32(-1)
+                for e in range(E):
+                    sm = (e < no) & (out_at(g, last, e) == to) \
+                        & jnp.logical_not(lnew)
+                    slot = jnp.where((slot < 0) & sm, e, slot)
+
+                @pl.when(slot >= 0)
+                def _():
+                    wi = last * E2 + (slot >> 1)
+                    half_set(outp, g, wi, slot,
+                             half_get(outp, g, last * E2, slot) + WONE)
+
+                @pl.when(slot < 0)
+                def _():
+                    tcw = ctrl[0, g, to]
+                    ni = (tcw >> 10) & 15
+                    ov = ((no >= E) | (ni >= P)).astype(jnp.int32)
+                    fsv[g, FS_FAIL] = fsv[g, FS_FAIL] | ov
+
+                    @pl.when(ov == 0)
+                    def _():
+                        half_set(outp, g, last * E2 + (no >> 1), no,
+                                 to | WONE)
+                        ctrl[0, g, last] = lcw + (1 << 3)
+                        half_set(inp, g, to * P2 + (ni >> 1), ni, last)
+                        ctrl[0, g, to] = ctrl[0, g, to] + (1 << 10)
+                fsv[g, FS_LAST] = to
+                fsv[g, FS_LNEW] = is_new.astype(jnp.int32)
+
+        # ---------------- init per-g fusion state ----------------
+        for g in range(G):
+            qlen = msc[0, g, 0]
+            ej = msc[0, g, 1]
+            bj = msc[0, g, 2]
+            nst = msc[0, g, 3]
+            bad = msc[0, g, 4]
+            nn0 = msc[0, g, 5]
+            fail_in = msc[0, g, 6]
+            live_n = ej + nst + jnp.maximum(qlen - bj, 0)
+            skip = (bad > 0) | (fail_in > 0) | (qlen == 0) | (live_n == 0)
+            fsv[g, FS_T] = 0
+            fsv[g, FS_LAST] = SRC_NODE_ID
+            fsv[g, FS_LNEW] = 0
+            fsv[g, FS_NN] = nn0
+            fsv[g, FS_FAIL] = 0
+            fsv[g, FS_LIVE] = jnp.where(skip, 0, live_n)
+            fsv[g, FS_DONE] = skip.astype(jnp.int32)
+            fsv[g, FS_QID] = -1
+
+        def fuse_body(alive):
+            for _ in range(2):
+                for g in range(G):
+                    @pl.when((fsv[g, FS_DONE] == 0)
+                             & (fsv[g, FS_T] < fsv[g, FS_LIVE])
+                             & (fsv[g, FS_FAIL] == 0))
+                    def _(g=g):
+                        fuse_step(g)
+            na = jnp.int32(0)
+            for g in range(G):
+                done = (fsv[g, FS_DONE] > 0) \
+                    | (fsv[g, FS_T] >= fsv[g, FS_LIVE]) \
+                    | (fsv[g, FS_FAIL] > 0)
+                na += jnp.where(done, 0, 1)
+            return na
+
+        jax.lax.while_loop(lambda a: a > 0, fuse_body, jnp.int32(G))
+
+        # final edge last -> SINK (ref pg_fuse_steps tail)
+        for g in range(G):
+            @pl.when((fsv[g, FS_DONE] == 0) & (fsv[g, FS_FAIL] == 0))
+            def _(g=g):
+                last = fsv[g, FS_LAST]
+                lnew = fsv[g, FS_LNEW] > 0
+                lcw = ctrl[0, g, last]
+                no = (lcw >> 3) & 15
+                to = jnp.int32(SINK_NODE_ID)
+                slot = jnp.int32(-1)
+                for e in range(E):
+                    sm = (e < no) & (out_at(g, last, e) == to) \
+                        & jnp.logical_not(lnew)
+                    slot = jnp.where((slot < 0) & sm, e, slot)
+
+                @pl.when(slot >= 0)
+                def _():
+                    wi = last * E2 + (slot >> 1)
+                    half_set(outp, g, wi, slot,
+                             half_get(outp, g, last * E2, slot) + WONE)
+
+                @pl.when(slot < 0)
+                def _():
+                    tcw = ctrl[0, g, to]
+                    ni = (tcw >> 10) & 15
+                    ov = ((no >= E) | (ni >= P)).astype(jnp.int32)
+                    fsv[g, FS_FAIL] = fsv[g, FS_FAIL] | ov
+
+                    @pl.when(ov == 0)
+                    def _():
+                        half_set(outp, g, last * E2 + (no >> 1), no,
+                                 to | WONE)
+                        ctrl[0, g, last] = lcw + (1 << 3)
+                        half_set(inp, g, to * P2 + (ni >> 1), ni, last)
+                        ctrl[0, g, to] = ctrl[0, g, to] + (1 << 10)
+
+        # ---------------- Kahn FIFO toposort (post-fusion state) ------
+        def cp(tt, c):
+            for g in range(G):
+                indeg[g, tt] = (ctrl[0, g, tt] >> 10) & 15
+            return c
+        jax.lax.fori_loop(0, R, cp, 0)
+        for g in range(G):
+            q[g, 0] = SRC_NODE_ID
+            stv[g, SV_HEAD] = 0
+            stv[g, SV_TAIL] = 1
+            stv[g, SV_IDX] = 0
+            stv[g, SV_DONE] = 0
+
+        def pop(g):
+            head = stv[g, SV_HEAD]
+            idx = stv[g, SV_IDX]
+            cur = q[g, head]
+            i2n_o[0, g, idx] = cur
+            n2i_o[0, g, cur] = idx
+            stv[g, SV_HEAD] = head + 1
+            stv[g, SV_IDX] = idx + 1
+            stv[g, SV_DONE] = jnp.where(cur == SINK_NODE_ID, 1, 0)
+
+            @pl.when(cur != SINK_NODE_ID)
+            def _():
+                no = (ctrl[0, g, cur] >> 3) & 15
+                for e in range(E):
+                    @pl.when(e < no)
+                    def _(e=e):
+                        v = out_at(g, cur, e)
+                        d = indeg[g, v] - 1
+                        indeg[g, v] = d
+
+                        @pl.when(d == 0)
+                        def _(v=v):
+                            na_v = (ctrl[0, g, v] >> 7) & 7
+                            rdy = jnp.int32(1)
+                            for a in range(A):
+                                av = al_at(g, v, a)
+                                rdy = rdy & jnp.where(
+                                    a >= na_v, 1,
+                                    (indeg[g, av] == 0)
+                                    .astype(jnp.int32))
+
+                            @pl.when(rdy > 0)
+                            def _(v=v, na_v=na_v):
+                                t0 = stv[g, SV_TAIL]
+                                q[g, t0] = v
+                                for a in range(A):
+                                    @pl.when(a < na_v)
+                                    def _(a=a):
+                                        q[g, t0 + 1 + a] = al_at(g, v, a)
+                                stv[g, SV_TAIL] = t0 + 1 + na_v
+
+        def topo_body(alive):
+            for _ in range(4):
+                for g in range(G):
+                    @pl.when((stv[g, SV_DONE] == 0)
+                             & (stv[g, SV_HEAD] < stv[g, SV_TAIL]))
+                    def _(g=g):
+                        pop(g)
+            na = jnp.int32(0)
+            for g in range(G):
+                na += jnp.where((stv[g, SV_DONE] == 0)
+                                & (stv[g, SV_HEAD] < stv[g, SV_TAIL]),
+                                1, 0)
+            return na
+
+        jax.lax.while_loop(lambda a: a > 0, topo_body, jnp.int32(G))
+        for g in range(G):
+            fail = fsv[g, FS_FAIL] | msc[0, g, 6] \
+                | (msc[0, g, 4] & (msc[0, g, 0] > 0).astype(jnp.int32))
+            nn = fsv[g, FS_NN]
+            topo_ok = (stv[g, SV_DONE] > 0) & (stv[g, SV_IDX] == nn)
+            fail = fail | ((fsv[g, FS_DONE] == 0)
+                           & jnp.logical_not(topo_ok)).astype(jnp.int32)
+            stat_o[0, g, 0] = nn
+            stat_o[0, g, 1] = fail
+    return kernel
+
+
+def graph_update_batch(cfg: LoopConfig, st: GState, i2n, steps, misc,
+                       qcodes, qlen, interpret=False):
+    """Fusion + re-sort of one round via the merged Pallas graph kernel.
+    Same contract as fuse_batch + topo_batch combined. Instances whose
+    round was bad/failed (or qlen 0) keep their state; capacity or topo
+    failure sets the sticky fail flag."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import dp_pallas as dpp
+    B, R, E, P, A, G = cfg.B, cfg.R, cfg.E, cfg.P, cfg.A, cfg.GT
+    E2, P2, A2 = E // 2, P // 2, (A + 1) // 2
+    IDB = 16 - cfg.wbits
+    NP_ = B // G
+    i32 = jnp.int32
+
+    def pack2(x, k2):
+        x = x.astype(i32) & 0xFFFF
+        if x.shape[2] % 2:
+            x = jnp.concatenate(
+                [x, jnp.zeros((B, R, 1), i32)], axis=2)
+        return (x[:, :, 0::2] | (x[:, :, 1::2] << 16)).reshape(B, R * k2)
+
+    ctrl = (st.bases.astype(i32) | (st.n_out.astype(i32) << 3)
+            | (st.n_al.astype(i32) << 7) | (st.n_in.astype(i32) << 10))
+    # out halves carry id | weight<<IDB (dispatcher guards the ranges)
+    outp = pack2(st.out_ids.astype(i32)
+                 | (st.out_w.astype(i32) << IDB), E2)
+    inp = pack2(st.in_ids, P2)
+    alp = pack2(st.al_ids, A2)
+    # steps packed 2/word as op(2)|row(12) halves: the scalar replay
+    # tracks the query position incrementally (C's query_id), so the
+    # column bits never ship
+    sp = (steps & 3) | (((steps >> 2) & 0xFFF) << 2)
+    if cfg.LS % 2:
+        sp = jnp.concatenate([sp, jnp.zeros((B, 1), i32)], axis=1)
+    sp2 = (sp[:, 0::2] & 0xFFFF) | (sp[:, 1::2] << 16)
+    bad = (misc[:, dpp.M_OVFL] | misc[:, dpp.M_FAIL]) > 0
+    msc = jnp.stack(
+        [qlen, jnp.maximum(misc[:, dpp.M_ENDJ], 0), misc[:, dpp.M_BJ],
+         misc[:, dpp.M_NSTEPS], bad.astype(i32), st.node_n,
+         st.fail], axis=1)
+    qb = qcodes.astype(i32) & 0xFF
+    Wq4 = (cfg.Wq + 3) // 4
+    if cfg.Wq % 4:
+        qb = jnp.concatenate(
+            [qb, jnp.zeros((B, 4 - cfg.Wq % 4), i32)], axis=1)
+    qp4 = (qb[:, 0::4] | (qb[:, 1::4] << 8) | (qb[:, 2::4] << 16)
+           | (qb[:, 3::4] << 24))
+
+    def grp(x):
+        return x.reshape(NP_, G, -1)
+
+    def smem(k):
+        return pl.BlockSpec((1, G, k), lambda b: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    kern = make_graph_kernel(cfg)
+    LS2 = sp2.shape[1]
+    out_shapes = (
+        jax.ShapeDtypeStruct((NP_, G, R), i32),        # ctrl (aliased)
+        jax.ShapeDtypeStruct((NP_, G, R * E2), i32),   # outp (id|w)
+        jax.ShapeDtypeStruct((NP_, G, R * P2), i32),   # inp
+        jax.ShapeDtypeStruct((NP_, G, R * A2), i32),   # alp
+        jax.ShapeDtypeStruct((NP_, G, R), i32),        # i2n
+        jax.ShapeDtypeStruct((NP_, G, R), i32),        # n2i
+        jax.ShapeDtypeStruct((NP_, G, 2), i32),        # node_n, fail
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(NP_,),
+        out_shape=out_shapes,
+        in_specs=[smem(8), smem(R), smem(LS2), smem(Wq4),
+                  smem(R), smem(R * E2), smem(R * P2), smem(R * A2)],
+        out_specs=tuple(
+            smem(k) for k in (R, R * E2, R * P2, R * A2, R, R, 2)),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        scratch_shapes=[pltpu.SMEM((G, R), i32),   # indeg
+                        pltpu.SMEM((G, R), i32),   # queue
+                        pltpu.SMEM((G, 8), i32),   # fusion state
+                        pltpu.SMEM((G, 4), i32)],  # topo state
+        interpret=interpret,
+    )(grp(jnp.pad(msc, ((0, 0), (0, 1)))), grp(i2n), grp(sp2),
+      grp(qp4), grp(ctrl), grp(outp), grp(inp), grp(alp))
+    (ctrl2, outp2, inp2, alp2, i2n2, n2i2, stat) = outs
+
+    def unpack2(x, k, cap):
+        x = x.reshape(B, R, k)
+        lo = x & 0xFFFF
+        hi = (x >> 16) & 0xFFFF
+        full = jnp.stack([lo, hi], axis=3).reshape(B, R, 2 * k)
+        return full[:, :, :cap]
+
+    ctrl2 = ctrl2.reshape(B, R)
+    ow = unpack2(outp2, E2, E)
+    st2 = GState(
+        bases=ctrl2 & 7,
+        out_ids=ow & ((1 << IDB) - 1), out_w=ow >> IDB,
+        n_out=(ctrl2 >> 3) & 15,
+        in_ids=unpack2(inp2, P2, P), n_in=(ctrl2 >> 10) & 15,
+        al_ids=unpack2(alp2, A2, A), n_al=(ctrl2 >> 7) & 7,
+        node_n=stat.reshape(B, 2)[:, 0],
+        fail=stat.reshape(B, 2)[:, 1])
+    return st2, i2n2.reshape(B, R), n2i2.reshape(B, R)

@@ -1029,13 +1029,15 @@ class BatchPOA:
         from ..alphabet import decode_table
         abs_ = self.run_seeded(instances) if seeded else self.run(instances)
         tab = decode_table(self.params.m)
-        outs = []
-        for ab in abs_:
+
+        def cons_one(ab):
+            # instance-independent; heaviest-bundling runs C/numpy work
+            # that releases the GIL, so the pool gives real parallelism
             generate_consensus(ab, self.params)
             c = ab.cons
-            outs.append([bytes(tab[b] for b in seq).decode()
-                         for seq in c.cons_base[:c.n_cons]])
-        return outs
+            return [bytes(tab[b] for b in seq).decode()
+                    for seq in c.cons_base[:c.n_cons]]
+        return list(_host_pool().map(cons_one, abs_))
 
 
 def batch_msa_from_files(params, fns, out):
@@ -1128,11 +1130,17 @@ def _loop_geometry(params, instances):
     G = pick_band_G(params.gap_mode, R, WB, 8, params.m, LS)
     if G < 4:
         return None
-    GT = 8 if R <= 1536 else 4     # topo kernel SMEM budget
+    GT = 4                          # graph kernel SMEM budget
+    # out-edge weights pack above the node-id bits in 16-bit halves:
+    # unit weights bound the max edge weight by reads-per-instance
+    max_reads = max(len(reads) for reads in instances)
+    wbits = max(4, int(max_reads).bit_length())
+    if wbits > 6 or R > (1 << (16 - wbits)):
+        return None
     return LoopConfig(R=R, E=12, P=8, A=4, Wq=Wq, WB=WB, LS=LS, NR=NR,
                       B=0, G=G, GT=GT, pn=pn, inf_min=inf_min,
                       gap_mode=params.gap_mode,
-                      use_zdrop=params.zdrop > 0)
+                      use_zdrop=params.zdrop > 0, wbits=wbits)
 
 
 class _DeviceLoop:
@@ -1228,6 +1236,15 @@ class _DeviceLoop:
 
         from ..ops import bt_xla
         from ..graph import NativeGraph
+        # unpack ALL step streams in one vectorized pass (the per-case
+        # unpack_steps16 cumsums would serialize on the GIL inside the
+        # replay pool): steps16 is op|dj<<2|di<<3 deltas from (bi, bj)
+        raw = s16.astype(np.int32) & 0xFFFF
+        iall = (misc[:, :, dpp.M_BI:dpp.M_BI + 1]
+                - np.cumsum((raw >> 3) & 0x1FFF, axis=2))
+        jall = (misc[:, :, dpp.M_BJ:dpp.M_BJ + 1]
+                - np.cumsum((raw >> 2) & 1, axis=2))
+        steps_all = (raw & 3) | (iall << 2) | (jall << 14)
 
         def replay_one(b_k):
             b, k = b_k
@@ -1245,11 +1262,12 @@ class _DeviceLoop:
             for r, q in enumerate(reads[1:]):
                 mi = misc[r, b]
                 nst = int(mi[dpp.M_NSTEPS])
-                row = s16[r, b]
-                if nst > row.shape[0]:
-                    row = jax.device_get(s16_d[r, b, :nst])
-                steps32 = bt_xla.unpack_steps16(
-                    row, nst, int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
+                if nst > s16.shape[2]:   # rare over-cap: refetch
+                    steps32 = bt_xla.unpack_steps16(
+                        jax.device_get(s16_d[r, b, :nst]), nst,
+                        int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
+                else:
+                    steps32 = steps_all[r, b]
                 if not g.is_topological_sorted:
                     g.topological_sort(params)
                 if isinstance(g, NativeGraph):
@@ -1269,5 +1287,9 @@ class _DeviceLoop:
                                           res.cigar, None,
                                           bp._rid(k, r + 1), True)
 
-        list(_host_pool().map(replay_one, enumerate(live)))
+        import os as _os
+        if _os.environ.get("ABPOA_LOOP_NO_REPLAY") != "1":
+            # debug/bench-ablation escape hatch: skip the host replay
+            # (outputs are then meaningless; timings isolate the device)
+            list(_host_pool().map(replay_one, enumerate(live)))
         return True

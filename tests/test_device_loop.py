@@ -220,6 +220,29 @@ def test_fuse_topo_remain_no_kernel():
                              jnp.full(B, qlen, jnp.int32))
         i2n2, n2i2, ok = pls.topo_batch(cfg, st2, interpret=True)
         remain2 = pls.remain_batch(cfg, st2)
+        # second implementation: the merged scalar-SMEM graph kernel
+        # must produce the identical state and order
+        st_k, i2n_k, n2i_k = pls.graph_update_batch(
+            cfg, st, i2n, jnp.asarray(steps), jnp.asarray(misc),
+            jnp.asarray(qc), jnp.full(B, qlen, jnp.int32),
+            interpret=True)
+        sx = jax.tree.map(np.asarray, st2)
+        sk = jax.tree.map(np.asarray, st_k)
+        nh0 = int(sx.node_n[0])
+        assert not sk.fail.any()
+        assert (sk.node_n == sx.node_n).all()
+        assert (sk.bases[:, :nh0] == sx.bases[:, :nh0]).all()
+        for f, cnt in (("out_ids", sx.n_out), ("out_w", sx.n_out),
+                       ("in_ids", sx.n_in), ("al_ids", sx.n_al)):
+            a, bb = getattr(sx, f), getattr(sk, f)
+            m = (np.arange(a.shape[2])[None, None, :]
+                 < cnt[:, :nh0, None])
+            assert (np.where(m, a[:, :nh0], 0)
+                    == np.where(m, bb[:, :nh0], 0)).all(), f
+        assert (np.asarray(i2n_k)[:, :nh0]
+                == np.asarray(i2n2)[:, :nh0]).all()
+        assert (np.asarray(n2i_k)[:, :nh0]
+                == np.asarray(n2i2)[:, :nh0]).all()
         g.add_graph_alignment(params, q, [1] * qlen, res.cigar, None,
                               r, True)
         st_np = jax.tree.map(np.asarray, st2)
