@@ -95,6 +95,7 @@ def get_lib():
             "pg_export_csr": (None, [_vp] + [_vp] * 10),
             "pg_export_aux": (None, [_vp] + [_vp] * 5),
             "pg_node_base": (_i32, [_vp, _i32]),
+            "pg_cons_hb": (ctypes.c_int, [_vp, _vp, _vp, _vp]),
             # seeding / chaining (seedchain.c)
             "sc_sketch": (ctypes.c_int64,
                           [_vp, _i32, _i32, _i32, _i32, _i32, _i32,

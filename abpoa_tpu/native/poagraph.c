@@ -572,3 +572,85 @@ int32_t pg_node_base(void *h, int32_t id)
 {
     return ((pg_t *)h)->nodes[id].base;
 }
+
+/* Heaviest-bundling consensus, single cluster (the default -d1 path):
+ * reverse-topological DP picking each node's heaviest out edge, then
+ * the SRC->SINK walk along the picks. Port of consensus.py
+ * _reverse_bfs_bundle/_set_hb_cons (ref abpoa_heaviest_bundling,
+ * src/abpoa_output.c:361-415) — the Python twin stays the readable
+ * fallback and the multi-allele (-d>=2) implementation.
+ * Outputs: cons_ids / covs (caller-sized >= n), *len_out. covs carry
+ * n_read (the unit-weight coverage the default path uses). */
+int pg_cons_hb(void *h, int32_t *cons_ids, int32_t *covs,
+               int32_t *len_out)
+{
+    pg_t *pg = (pg_t *)h;
+    int32_t n = pg->n;
+    int32_t *outdeg = (int32_t *)malloc(4 * (size_t)n);
+    int32_t *queue = (int32_t *)malloc(4 * (size_t)n);
+    int32_t *max_out = (int32_t *)malloc(4 * (size_t)n);
+    int64_t *score = (int64_t *)malloc(8 * (size_t)n);
+    if (!outdeg || !queue || !max_out || !score) {
+        free(outdeg); free(queue); free(max_out); free(score);
+        return -1;
+    }
+    for (int32_t i = 0; i < n; i++) {
+        outdeg[i] = pg->nodes[i].n_out;
+        max_out[i] = -1;
+        score[i] = 0;
+    }
+    int32_t qh = 0, qt = 0, rc = -1;
+    queue[qt++] = SINK;
+    while (qh < qt) {
+        int32_t cur = queue[qh++];
+        node_t *nd = &pg->nodes[cur];
+        if (cur == SRC) {
+            int64_t path_score = -1, path_max_w = -1;
+            int32_t max_id = -1;
+            for (int32_t i = 0; i < nd->n_out; i++) {
+                int32_t oid = nd->out_ids[i];
+                int64_t w = nd->out_w[i];
+                if (w > path_max_w
+                        || (w == path_max_w && score[oid] > path_score)) {
+                    max_id = oid;
+                    path_score = score[oid];
+                    path_max_w = w;
+                }
+            }
+            max_out[cur] = max_id;
+            rc = 0;
+            break;
+        } else if (cur != SINK) {
+            int64_t max_w = INT64_MIN;
+            int32_t max_id = -1;
+            for (int32_t i = 0; i < nd->n_out; i++) {
+                int32_t oid = nd->out_ids[i];
+                int64_t w = nd->out_w[i];
+                if (max_w < w) {
+                    max_w = w; max_id = oid;
+                } else if (max_w == w && score[max_id] <= score[oid]) {
+                    max_id = oid;
+                }
+            }
+            score[cur] = max_w + score[max_id];
+            max_out[cur] = max_id;
+        }
+        for (int32_t e = 0; e < nd->n_in; e++)
+            if (--outdeg[nd->in_ids[e]] == 0)
+                queue[qt++] = nd->in_ids[e];
+    }
+    int32_t len = 0;
+    if (rc == 0) {
+        int32_t cur = max_out[SRC];
+        while (cur != SINK && cur >= 0 && len < n) {
+            cons_ids[len] = cur;
+            covs[len] = pg->nodes[cur].n_read;
+            len++;
+            cur = max_out[cur];
+        }
+        if (cur != SINK) rc = -1;
+    }
+    *len_out = len;
+    free(outdeg); free(queue); free(max_out); free(score);
+    return rc;
+}

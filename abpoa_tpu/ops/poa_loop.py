@@ -739,7 +739,11 @@ def make_graph_kernel(cfg: LoopConfig):
         # in explicitly before mutating.
         def cp_in(t, c):
             for g in range(G):
-                ctrl[0, g, t] = ctrl_i[0, g, t]
+                w = ctrl_i[0, g, t]
+                ctrl[0, g, t] = w
+                # in-degree scratch seeds from the PRE-fusion counts;
+                # fusion's in-append sites bump it incrementally
+                indeg[g, t] = (w >> 10) & 15
                 for e in range(E2):
                     outp[0, g, t * E2 + e] = outp_i[0, g, t * E2 + e]
                 for pp in range(P2):
@@ -822,6 +826,7 @@ def make_graph_kernel(cfg: LoopConfig):
                 @pl.when(is_new & jnp.logical_not(fail_cap))
                 def _():
                     ctrl[0, g, nn_cur] = qb
+                    indeg[g, nn_cur] = 0
                     fsv[g, FS_NN] = nn_cur + 1
 
                     # aligned bundling for mismatch-created nodes
@@ -873,6 +878,7 @@ def make_graph_kernel(cfg: LoopConfig):
                         ctrl[0, g, last] = lcw + (1 << 3)
                         half_set(inp, g, to * P2 + (ni >> 1), ni, last)
                         ctrl[0, g, to] = ctrl[0, g, to] + (1 << 10)
+                        indeg[g, to] = indeg[g, to] + 1
                 fsv[g, FS_LAST] = to
                 fsv[g, FS_LNEW] = is_new.astype(jnp.int32)
 
@@ -949,13 +955,11 @@ def make_graph_kernel(cfg: LoopConfig):
                         ctrl[0, g, last] = lcw + (1 << 3)
                         half_set(inp, g, to * P2 + (ni >> 1), ni, last)
                         ctrl[0, g, to] = ctrl[0, g, to] + (1 << 10)
+                        indeg[g, to] = indeg[g, to] + 1
 
         # ---------------- Kahn FIFO toposort (post-fusion state) ------
-        def cp(tt, c):
-            for g in range(G):
-                indeg[g, tt] = (ctrl[0, g, tt] >> 10) & 15
-            return c
-        jax.lax.fori_loop(0, R, cp, 0)
+        # indeg scratch was seeded in cp_in and maintained by the
+        # fusion's append sites — no rebuild pass
         for g in range(G):
             q[g, 0] = SRC_NODE_ID
             stv[g, SV_HEAD] = 0

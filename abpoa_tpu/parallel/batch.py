@@ -157,6 +157,8 @@ class BatchPOA:
         self._weights = None       # per-instance per-read qv weights
         self._rid0 = []            # per-instance read-id offset (-i)
         self.used_device_loop = False  # single-dispatch loop engaged
+        self.precompute_cons = False   # consensus inside the device-loop
+        #                                replay pool (set by run_consensus)
 
     # -------------------------------------------------------------- #
     def _device_call(self, cfg, batched):
@@ -1027,6 +1029,7 @@ class BatchPOA:
         seeded=True routes through the windowed -S/-p pipeline."""
         from ..consensus import generate_consensus
         from ..alphabet import decode_table
+        self.precompute_cons = True
         abs_ = self.run_seeded(instances) if seeded else self.run(instances)
         tab = decode_table(self.params.m)
 
@@ -1181,7 +1184,6 @@ class _DeviceLoop:
         bp, params = self.bp, self.bp.params
         abs_, instances = self.abs_, self.instances
         cfg0 = self.cfg
-        n = len(instances)
         # fuse read 0 + sort on the host (cheap C work, once)
         for k, reads in enumerate(instances):
             ab = abs_[k]
@@ -1195,45 +1197,64 @@ class _DeviceLoop:
         if not live:
             return True
         chunk = int(np.lcm(cfg0.G, cfg0.GT))
-        B = max(chunk, -(-len(live) // chunk) * chunk)
-        cfg = cfg0._replace(B=B)
-        graphs = [abs_[k].graph for k in live]
-        graphs += [graphs[0]] * (B - len(live))       # pad replicas
-        st, i2n, n2i, remain = pls.init_state_np(graphs, cfg)
-        qc = np.zeros((cfg.NR, B, cfg.Wq), np.int8)
-        ql = np.zeros((cfg.NR, B), np.int32)
-        for b, k in enumerate(live):
-            for r, q in enumerate(instances[k][1:]):
-                qc[r, b, 1:len(q) + 1] = q
-                ql[r, b] = len(q)
-        scal_base = pls.make_scal_base(params, cfg)
+        # two sub-batches pipeline device execution against host replay:
+        # XLA queues the second loop while the host replays the first
+        if len(live) >= 2 * chunk:
+            mid = (len(live) // 2 + chunk - 1) // chunk * chunk
+            parts = [live[:mid], live[mid:]]
+        else:
+            parts = [live]
+        scal_base = pls.make_scal_base(params, cfg0)
         interp = _interpret()
-        loop = pls.poa_device_loop_jit(cfg, interpret=interp)
         bp.used_device_loop = True
         t0 = time.perf_counter()
-        stF, misc_d, s16_d = loop(
-            jax.tree.map(jnp.asarray, st), jnp.asarray(i2n),
-            jnp.asarray(n2i), jnp.asarray(remain), jnp.asarray(qc),
-            jnp.asarray(ql), jnp.asarray(scal_base),
-            jnp.int32(params.wb), jnp.int32(round(params.wf * 1000)))
-        # fetch: misc + capped step streams (over-cap rows refetched)
-        maxlen = int(ql.max())
-        cap = min(cfg.LS, (maxlen + max(96, maxlen // 4) + 63)
-                  // 64 * 64)
-        misc, s16, failv = jax.device_get(
-            (misc_d, s16_d[:, :, :cap], stF.fail))
-        t1 = time.perf_counter()
-        bp.dp_seconds += t1 - t0
-        bp.dp_intervals.append((t0, t1))
-        bp.rounds += cfg.NR
-        ok_mask = failv == 0
-        cells = 0
-        for b, k in enumerate(live):
-            if ok_mask[b]:
-                nr_k = len(instances[k]) - 1
-                cells += int(misc[:nr_k, b, dpp.M_CELLS].sum())
-        bp.dp_cells += cells
+        pends = []
+        for part in parts:
+            B = max(chunk, -(-len(part) // chunk) * chunk)
+            cfg = cfg0._replace(B=B)
+            graphs = [abs_[k].graph for k in part]
+            graphs += [graphs[0]] * (B - len(part))   # pad replicas
+            st, i2n, n2i, remain = pls.init_state_np(graphs, cfg)
+            qc = np.zeros((cfg.NR, B, cfg.Wq), np.int8)
+            ql = np.zeros((cfg.NR, B), np.int32)
+            for b, k in enumerate(part):
+                for r, q in enumerate(instances[k][1:]):
+                    qc[r, b, 1:len(q) + 1] = q
+                    ql[r, b] = len(q)
+            loop = pls.poa_device_loop_jit(cfg, interpret=interp)
+            stF, misc_d, s16_d = loop(
+                jax.tree.map(jnp.asarray, st), jnp.asarray(i2n),
+                jnp.asarray(n2i), jnp.asarray(remain), jnp.asarray(qc),
+                jnp.asarray(ql), jnp.asarray(scal_base),
+                jnp.int32(params.wb),
+                jnp.int32(round(params.wf * 1000)))
+            maxlen = int(ql.max()) if len(part) else 0
+            cap = min(cfg.LS, (maxlen + max(96, maxlen // 4) + 63)
+                      // 64 * 64)
+            pends.append((part, cfg, stF, misc_d, s16_d, cap))
 
+        for part, cfg, stF, misc_d, s16_d, cap in pends:
+            misc, s16, failv = jax.device_get(
+                (misc_d, s16_d[:, :, :cap], stF.fail))
+            t1 = time.perf_counter()
+            bp.dp_seconds += t1 - t0
+            bp.dp_intervals.append((t0, t1))
+            bp.rounds += cfg.NR
+            ok_mask = failv == 0
+            cells = 0
+            for b, k in enumerate(part):
+                if ok_mask[b]:
+                    nr_k = len(instances[k]) - 1
+                    cells += int(misc[:nr_k, b, dpp.M_CELLS].sum())
+            bp.dp_cells += cells
+            self._replay(part, misc, s16, s16_d, ok_mask)
+        return True
+
+    def _replay(self, live, misc, s16, s16_d, ok_mask):
+        import jax
+        bp, params = self.bp, self.bp.params
+        abs_, instances = self.abs_, self.instances
+        from ..ops import dp_pallas as dpp
         from ..ops import bt_xla
         from ..graph import NativeGraph
         # unpack ALL step streams in one vectorized pass (the per-case
@@ -1257,35 +1278,42 @@ class _DeviceLoop:
                 ab.graph.reset()
                 for r, q in enumerate(reads):
                     ab.poa_one(params, q, [1] * len(q), bp._rid(k, r))
-                return
-            g = ab.graph
-            for r, q in enumerate(reads[1:]):
-                mi = misc[r, b]
-                nst = int(mi[dpp.M_NSTEPS])
-                if nst > s16.shape[2]:   # rare over-cap: refetch
-                    steps32 = bt_xla.unpack_steps16(
-                        jax.device_get(s16_d[r, b, :nst]), nst,
-                        int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
-                else:
-                    steps32 = steps_all[r, b]
-                if not g.is_topological_sorted:
-                    g.topological_sort(params)
-                if isinstance(g, NativeGraph):
-                    g.fuse_steps(params, 0, steps32, nst,
-                                 int(mi[dpp.M_BJ]), int(mi[dpp.M_ENDJ]),
-                                 q, bp._rid(k, r + 1), True)
-                else:
-                    from ..align.engine_np import AlignResult
-                    res = AlignResult()
-                    bt_xla.replay_steps(g, params, np.asarray(q),
-                                        steps32, nst,
-                                        int(mi[dpp.M_BI]),
-                                        int(mi[dpp.M_BJ]),
-                                        int(mi[dpp.M_ENDI]),
-                                        int(mi[dpp.M_ENDJ]), res)
-                    g.add_graph_alignment(params, q, [1] * len(q),
-                                          res.cigar, None,
-                                          bp._rid(k, r + 1), True)
+            else:
+                g = ab.graph
+                for r, q in enumerate(reads[1:]):
+                    mi = misc[r, b]
+                    nst = int(mi[dpp.M_NSTEPS])
+                    if nst > s16.shape[2]:   # rare over-cap: refetch
+                        steps32 = bt_xla.unpack_steps16(
+                            jax.device_get(s16_d[r, b, :nst]), nst,
+                            int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
+                    else:
+                        steps32 = steps_all[r, b]
+                    if not g.is_topological_sorted:
+                        g.topological_sort(params)
+                    if isinstance(g, NativeGraph):
+                        g.fuse_steps(params, 0, steps32, nst,
+                                     int(mi[dpp.M_BJ]),
+                                     int(mi[dpp.M_ENDJ]),
+                                     q, bp._rid(k, r + 1), True)
+                    else:
+                        from ..align.engine_np import AlignResult
+                        res = AlignResult()
+                        bt_xla.replay_steps(g, params, np.asarray(q),
+                                            steps32, nst,
+                                            int(mi[dpp.M_BI]),
+                                            int(mi[dpp.M_BJ]),
+                                            int(mi[dpp.M_ENDI]),
+                                            int(mi[dpp.M_ENDJ]), res)
+                        g.add_graph_alignment(params, q, [1] * len(q),
+                                              res.cigar, None,
+                                              bp._rid(k, r + 1), True)
+            if bp.precompute_cons:
+                # consensus inside the replay pool: overlaps the other
+                # sub-batch's device execution (run_consensus's later
+                # pass is then an is_called_cons no-op)
+                from ..consensus import generate_consensus
+                generate_consensus(ab, params)
 
         import os as _os
         if _os.environ.get("ABPOA_LOOP_NO_REPLAY") != "1":
