@@ -488,7 +488,7 @@ def remain_batch(cfg: LoopConfig, st: GState):
 # DP plane re-export in topo order (gathers)
 
 def build_dp_inputs(cfg: LoopConfig, st: GState, i2n, n2i, remain,
-                    qcodes, qlen, scal_base, wb, wf1000):
+                    qlen, scal_base, wb, wf1000):
     """Build the band kernel's per-round inputs on device.
 
     scal_base: [S_NSCAL + m*m] int32 template with the static params
@@ -557,7 +557,7 @@ def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
     i8 = jnp.int8
     i16 = jnp.int16
     scal, bases_row, pre_idx, pre_nn, remain_row = build_dp_inputs(
-        cfg, st, i2n, n2i, remain, qcodes, qlen, scal_base, wb, wf1000)
+        cfg, st, i2n, n2i, remain, qlen, scal_base, wb, wf1000)
     bc = BandConfig(gap_mode=cfg.gap_mode, align_mode=GLOBAL_MODE,
                     pn=cfg.pn, R=cfg.R, WB=cfg.WB, Wq=cfg.Wq, P=cfg.P,
                     O=2, m=5, use_zdrop=cfg.use_zdrop, bt_lmax=cfg.LS,
@@ -720,7 +720,6 @@ def make_graph_kernel(cfg: LoopConfig):
     IDB = 16 - WB_
     IDM = (1 << IDB) - 1
     WONE = 1 << IDB        # +1 to the packed weight
-    LS2 = LS // 2
     # ctrl word: base(3) | n_out(4)<<3 | n_al(3)<<7 | n_in(4)<<10
     # out halves: id(IDB) | weight(WB_)<<IDB — R <= 2^IDB and per-edge
     # weight < 2^WB_ are eligibility guards in the dispatcher
