@@ -47,7 +47,7 @@ sys.path.insert(0, str(REPO))
 
 N_INSTANCES = int(os.environ.get("ABPOA_BENCH_INSTANCES", "64"))
 FIXTURE = os.environ.get("ABPOA_BENCH_FIXTURE", "heter.fa")
-BUDGET_S = float(os.environ.get("ABPOA_BENCH_BUDGET_S", "360"))
+BUDGET_S = float(os.environ.get("ABPOA_BENCH_BUDGET_S", "500"))
 BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 REF_BIN = REPO / ".refbuild" / "bin_stock" / "abpoa"
 
@@ -392,9 +392,9 @@ def _bench_seeded(reads, n: int):
     warm = BatchPOA(Params().post_set())
     warm.params.disable_seeding = 0
     warm.params.post_set()
-    # device rounds chunk at 128 per shard group, so a 256-instance
-    # warmup compiles every padded-batch bucket the timed run will see
-    warm.run_seeded(_seeded_instances(reads, min(n, 256)))
+    # device rounds chunk at 128 per shard group, so a 128-instance
+    # warmup compiles the padded-batch buckets the timed run will see
+    warm.run_seeded(_seeded_instances(reads, min(n, 128)))
     if left() < 45:
         return {"skipped": "budget", "warmed": True}
     bp = BatchPOA(params)
