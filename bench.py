@@ -133,9 +133,19 @@ def _reference_wall(fixture: str):
 
 def _reference_cells_per_s(ref_wall, fixture, cells_per_instance,
                            update=False):
+    stored = None
+    if BASELINE_FILE.exists():
+        data = json.loads(BASELINE_FILE.read_text())
+        if fixture in data:
+            stored = float(data[fixture]["cells_per_s"])
     if ref_wall is not None:
         n, dt = ref_wall
         rate = n * cells_per_instance / dt
+        # denominator = the REFERENCE'S BEST known rate: a loaded host
+        # slows the live measurement and would flatter vs_baseline;
+        # taking max(live, stored) is conservative for our own number
+        if stored is not None:
+            rate = max(rate, stored)
         # the committed baseline stays stable: a live measurement only
         # replaces it behind an explicit opt-in (a noisy run on a loaded
         # host must not silently rewrite the denominator), and only once
@@ -147,10 +157,8 @@ def _reference_cells_per_s(ref_wall, fixture, cells_per_instance,
             data[fixture] = {"cells_per_s": rate, "n": n, "wall_s": dt}
             BASELINE_FILE.write_text(json.dumps(data, indent=1))
         return rate
-    if BASELINE_FILE.exists():
-        data = json.loads(BASELINE_FILE.read_text())
-        if fixture in data:
-            return float(data[fixture]["cells_per_s"])
+    if stored is not None:
+        return stored
     return float("nan")
 
 
@@ -490,7 +498,7 @@ def main():
     # than half the budget is spent
     reps = []
     cons = None
-    while len(reps) < 5:
+    while len(reps) < 3:
         bp = BatchPOA(Params().post_set())
         t0 = time.perf_counter()
         c = bp.run_consensus(instances)
