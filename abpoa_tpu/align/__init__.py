@@ -2,7 +2,7 @@
 
 ``align_sequence_to_graph/subgraph`` dispatch between the exact NumPy host
 oracle (reference-bit-exact, see engine_np.py) and the TPU batch engine
-(engine_tpu.py). Single-read incremental POA calls use the oracle; batched
+(engine_jax.py). Single-read incremental POA calls use the oracle; batched
 multi-instance throughput runs use the TPU path.
 """
 from __future__ import annotations

@@ -1233,12 +1233,17 @@ class _DeviceLoop:
                       // 64 * 64)
             pends.append((part, cfg, stF, misc_d, s16_d, cap))
 
+        # dp_seconds denominator: the two sub-batches pipeline, so each
+        # part accounts only its own [t_prev, fetch] interval — the sum
+        # is the phase's total wall (<= e2e), never double-counted
+        t_prev = t0
         for part, cfg, stF, misc_d, s16_d, cap in pends:
             misc, s16, failv = jax.device_get(
                 (misc_d, s16_d[:, :, :cap], stF.fail))
             t1 = time.perf_counter()
-            bp.dp_seconds += t1 - t0
-            bp.dp_intervals.append((t0, t1))
+            bp.dp_seconds += t1 - t_prev
+            bp.dp_intervals.append((t_prev, t1))
+            t_prev = t1
             bp.rounds += cfg.NR
             ok_mask = failv == 0
             cells = 0

@@ -493,11 +493,15 @@ def main():
     BatchPOA(Params().post_set()).run_consensus(instances)
     batch_mod.KERNEL_CAPTURE = None
 
-    # timed reps, adaptive: the headline is the MEDIAN rep (min-of-N
-    # flattered by 2.3x in round 3); later reps only run while less
-    # than half the budget is spent
+    # timed reps: the headline is the MEDIAN rep (min-of-N flattered by
+    # 2.3x in round 3). Rep discipline (round-4 verdict): a 1-rep median
+    # is not a median — reps run until 3 land or the e2e slice
+    # (0.45 x budget, leaving a RESERVED slice for the config-5 seeded
+    # phase that was budget-starved two rounds running) is spent;
+    # anything under 3 is marked reps_insufficient.
     reps = []
     cons = None
+    e2e_slice_end = T_START + 0.45 * BUDGET_S
     while len(reps) < 3:
         bp = BatchPOA(Params().post_set())
         t0 = time.perf_counter()
@@ -512,13 +516,15 @@ def main():
         ref_rate = _reference_cells_per_s(ref_wall, FIXTURE, cpi)
         emit(_headline(best, e2e, ref_rate,
                        {"reps": len(reps),
+                        "reps_insufficient": len(reps) < 3,
                         "device_loop": bp.used_device_loop},
                        e2e_med=e2e_med))
-        if time.monotonic() - T_START > 0.5 * BUDGET_S:
+        if len(reps) < 3 and time.monotonic() > e2e_slice_end:
             break
     # one-shot opt-in baseline update from the settled best rep
     _reference_cells_per_s(ref_wall, FIXTURE, cpi, update=True)
-    extras = {"reps": len(reps), "device": str(jax.devices()[0]),
+    extras = {"reps": len(reps), "reps_insufficient": len(reps) < 3,
+              "device": str(jax.devices()[0]),
               "device_loop": best.used_device_loop}
     extras.update(_roofline(best.dp_cells / e2e_med))
     if device_fallback:
@@ -528,6 +534,18 @@ def main():
 
     def _emit():
         emit(_headline(best, e2e, ref_rate, extras, e2e_med=e2e_med))
+
+    # ---- config-5 seeded workload FIRST among the optional phases ----
+    # (round-4 verdict: "the north-star workload should not be last in
+    # line" — it was budget-starved in rounds 3 and 4 behind the cheap
+    # kernel/transport extras; it now gets the whole post-e2e slice)
+    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "1024"))
+    if n_seeded and left() > 60:
+        try:
+            extras["seeded"] = _bench_seeded(reads, n_seeded)
+        except Exception as e:
+            extras["seeded"] = {"error": repr(e)}
+        _emit()
 
     # ---- best-effort phases; each skips cleanly on low budget ---- #
     if left() > 45:
@@ -571,16 +589,6 @@ def main():
                         "rounds": best.rounds}
         except Exception as e:
             extras["transport_error"] = repr(e)
-        _emit()
-    # config-5 seeded workload after the cheap transport/projection
-    # extras (BASELINE.json configs[4] is a north-star config; it gets
-    # the remaining budget)
-    n_seeded = int(os.environ.get("ABPOA_BENCH_SEEDED", "1024"))
-    if n_seeded and left() > 100:
-        try:
-            extras["seeded"] = _bench_seeded(reads, n_seeded)
-        except Exception as e:
-            extras["seeded"] = {"error": repr(e)}
         _emit()
 
     del captured
