@@ -48,7 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..params import GLOBAL_MODE, EXTEND_MODE, LINEAR_GAP, CONVEX_GAP
+from ..params import (GLOBAL_MODE, EXTEND_MODE, LINEAR_GAP, CONVEX_GAP,
+                      SINK_NODE_ID)
 from .dp_pallas import (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1,
                         S_OE1, S_E2, S_O2, S_OE2, S_ZDROP, S_DPSN, S_NSCAL,
                         M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NSTEPS,
@@ -90,6 +91,13 @@ class BandConfig(NamedTuple):
     fresh: bool = False   # band-state init is the post-sort reset pattern
                           # (mpl=n_rows, mpr=0): synthesized on device, the
                           # mpl0/mpr0 inputs may be 1-element dummies
+    nid: bool = False     # node-id plane mode (device loop): planes and
+                          # per-row control are indexed by NODE ID, the
+                          # sweep order comes from an i2n input, and the
+                          # control words are the graph kernel's packed
+                          # state (base|n_out<<3|n_al<<7|n_in<<10|rem<<16)
+                          # — no topo-space re-export between rounds.
+                          # Requires fresh + global mode.
 
 
 def _log2(x: int) -> int:
@@ -125,6 +133,10 @@ def make_band_kernel(cfg: BandConfig):
     KW1 = cfg.Wq // WB + 1   # folded qp rows per base (last is zeros)
     NSEG = WB // pn
     P2 = cfg.P // 2
+    NID = cfg.nid
+    SINK_ROW = SINK_NODE_ID
+    if NID:
+        assert cfg.fresh and not extend
 
     def iota():
         return jax.lax.broadcasted_iota(jnp.int32, (G, WB), 1)
@@ -134,10 +146,22 @@ def make_band_kernel(cfg: BandConfig):
     (ST_BS, ST_BI, ST_BJ, ST_BREM, ST_STOP, ST_CELLS, ST_OVFL,
      ST_K0) = range(8)
 
-    def kernel(scal, ctrl, preP, mplr0, qpf,
-               bsn_o, mplr_o, misc_o, steps_o,
-               Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
-               acc, rms, stv, bts):
+    def kernel(*refs):
+        # nid mode: control words are the graph kernel's packed state
+        # (indexed by node id), the sweep order arrives as i2n, and the
+        # walker converts plane rows back to topo indices through n2i so
+        # the emitted step stream keeps the host-replay format.
+        if NID:
+            (scal, i2n, n2i, ctrl, preP, qpf,
+             bsn_o, misc_o, steps_o,
+             Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
+             acc, rms, stv, bts) = refs
+            mplr0 = mplr_o = None
+        else:
+            (scal, ctrl, preP, mplr0, qpf,
+             bsn_o, mplr_o, misc_o, steps_o,
+             Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
+             acc, rms, stv, bts) = refs
         l = iota()
 
         def sc(g, k):
@@ -149,7 +173,11 @@ def make_band_kernel(cfg: BandConfig):
 
         def pre_at(g, t, p):
             w = preP[0, g, t * P2 + (p >> 1)]
-            return (w >> (16 * (p & 1))) & H16
+            v = (w >> (16 * (p & 1))) & H16
+            # nid mode: halves carry raw node ids; clamp so garbage state
+            # on failed instances can never index outside the R-row
+            # blocks (valid ids are < R, so this is an identity there)
+            return jnp.minimum(v, R - 1) if NID else v
 
         infs = [sc(g, S_INF) for g in range(G)]
         qlens = [sc(g, S_QLEN) for g in range(G)]
@@ -193,7 +221,8 @@ def make_band_kernel(cfg: BandConfig):
         # full-width kernel, masked to the window.
         ovfl0 = []
         for g in range(G):
-            mplr_o[0, g, 0] = 0
+            if not NID:
+                mplr_o[0, g, 0] = 0
             rms[g, 0] = RM_OK | 1
             rem0 = (ctrl[0, g, 0] >> 16) - rem_ends[g] - 1
             end0 = jnp.minimum(qlens[g],
@@ -239,11 +268,28 @@ def make_band_kernel(cfg: BandConfig):
             else:
                 stops = [jnp.bool_(False)] * G
             ovfls = [stv[g, ST_OVFL] > 0 for g in range(G)]
-            cws = [ctrl[0, g, t] for g in range(G)]
-            npres = [(cws[g] >> 5) & 31 for g in range(G)]
-            actives = [(t <= n_rowss[g] - 2) & jnp.logical_not(stops[g])
-                       & ((cws[g] >> 10) & 1 > 0)
-                       for g in range(G)]
+            if NID:
+                # plane/control row = node id; sweep order via i2n.
+                # Inactive rows (t past this instance's last swept row)
+                # and failed-instance garbage are dumped onto the SINK
+                # row, which the sweep/walk/band_cells never read — the
+                # v1 path's XLA-glue clipping, done in-kernel (reads and
+                # writes must stay inside the R-word SMEM blocks).
+                rids = [jnp.where(t <= n_rowss[g] - 2,
+                                  jnp.clip(i2n[0, g, t], 0, R - 1),
+                                  jnp.int32(SINK_ROW)) for g in range(G)]
+                cws = [ctrl[0, g, rids[g]] for g in range(G)]
+                npres = [(cws[g] >> 10) & 15 for g in range(G)]
+                actives = [(t <= n_rowss[g] - 2)
+                           & jnp.logical_not(stops[g]) for g in range(G)]
+            else:
+                rids = [t] * G
+                cws = [ctrl[0, g, t] for g in range(G)]
+                npres = [(cws[g] >> 5) & 31 for g in range(G)]
+                actives = [(t <= n_rowss[g] - 2)
+                           & jnp.logical_not(stops[g])
+                           & ((cws[g] >> 10) & 1 > 0)
+                           for g in range(G)]
             max_np = npres[0]
             for g in range(1, G):
                 max_np = jnp.maximum(max_np, npres[g])
@@ -254,14 +300,19 @@ def make_band_kernel(cfg: BandConfig):
             for g in range(G):
                 # one predecessor loop pulls the band state (rms) and the
                 # beg_sn floor (bsn) together
-                iw = mplr0[0, g, t]
+                if NID:
+                    # fresh reset pattern (mpl=n_rows, mpr=0): synthesized
+                    # from scal, no mplr0 input exists in nid mode
+                    iw = n_rowss[g]
+                else:
+                    iw = mplr0[0, g, t]
                 mpl = jnp.int32(1 << 29)
                 mpr = jnp.int32(-(1 << 29))
                 has_src = jnp.bool_(False)
                 min_pb = jnp.int32(1 << 30)
                 for p in range(cfg.P):
                     pv = p < npres[g]
-                    pred = pre_at(g, t, p)
+                    pred = pre_at(g, rids[g], p)
                     min_pb = jnp.minimum(
                         min_pb, jnp.where(pv, bsn_o[0, g, pred] & H16,
                                           1 << 30))
@@ -275,7 +326,8 @@ def make_band_kernel(cfg: BandConfig):
                                                  iw & H16))
                 mpr = jnp.maximum(mpr, jnp.where(has_src, -(1 << 29),
                                                  iw >> 16))
-                mplr_o[0, g, t] = mpl | (mpr << 16)
+                if not NID:
+                    mplr_o[0, g, t] = mpl | (mpr << 16)
                 rem = (cws[g] >> 16) - rem_ends[g] - 1
                 beg = jnp.maximum(0, jnp.minimum(mpl, qlens[g] - rem)
                                   - ws[g])
@@ -287,7 +339,7 @@ def make_band_kernel(cfg: BandConfig):
                 beg_sns.append(beg_sn)
                 end_sns.append(end_sn)
 
-                bsn_o[0, g, t] = beg_sn | (end_sn << 16)
+                bsn_o[0, g, rids[g]] = beg_sn | (end_sn << 16)
                 # band + guard + one spare zero segment must fit the tile
                 capg = jnp.minimum(end_sn + 1, dp_sns[g] - 1)
                 stv[g, ST_OVFL] = (ovfls[g]
@@ -303,7 +355,7 @@ def make_band_kernel(cfg: BandConfig):
                 lo_g = beg_sn * pn
                 k0 = lo_g // WB
                 # packed staging store per g: beg|end<<10|lomod<<20
-                base = cws[g] & 31
+                base = cws[g] & (7 if NID else 31)
                 colv[g:g + 1, 4:5] = (beg_sn | (end_sn << 10)
                                       | ((lo_g - k0 * WB) << 20)
                                       ).reshape(1, 1)
@@ -349,7 +401,7 @@ def make_band_kernel(cfg: BandConfig):
             def merge_p(p):
                 preds = []
                 for g in range(G):
-                    pred = pre_at(g, t, p)
+                    pred = pre_at(g, rids[g], p)
                     pv = p < npres[g]
                     pw = bsn_o[0, g, pred]
                     # one packed store: pbeg|pend<<10|pv<<20 (sentinels
@@ -504,11 +556,21 @@ def make_band_kernel(cfg: BandConfig):
                 f1row = jnp.where(band, f1, 0)
                 f2row = jnp.where(band, f2, 0)
 
-            Hb[:, t, :] = hrow
-            if gm != LINEAR_GAP:
-                E1b[:, t, :] = e1row
-            if gm == CONVEX_GAP:
-                E2b[:, t, :] = e2row
+            if NID:
+                for g in range(G):
+                    Hb[g, pl.ds(rids[g], 1), :] = hrow[g:g + 1, :]
+                if gm != LINEAR_GAP:
+                    for g in range(G):
+                        E1b[g, pl.ds(rids[g], 1), :] = e1row[g:g + 1, :]
+                if gm == CONVEX_GAP:
+                    for g in range(G):
+                        E2b[g, pl.ds(rids[g], 1), :] = e2row[g:g + 1, :]
+            else:
+                Hb[:, t, :] = hrow
+                if gm != LINEAR_GAP:
+                    E1b[:, t, :] = e1row
+                if gm == CONVEX_GAP:
+                    E2b[:, t, :] = e2row
 
             # --- backtrack bits (replaces the F planes): bake every
             # condition the walker tests into one int32 per cell.
@@ -597,10 +659,15 @@ def make_band_kernel(cfg: BandConfig):
                           | jnp.where((f2prev - e2) == f2row,
                                       one << 28, zero)
                           | jnp.where(hrow == f2row, one << 29, zero))
-            BTb[:, t, :] = (acc[0] | (acc[1] << 4) | (acc[2] << 8)
-                            | (acc[3] << 12) | (acc[4] << 13)
-                            | (acc[5] << 14) | (acc[6] << 18)
-                            | (acc[7] << 22) | (acc[8] << 23) | fb)
+            btrow = (acc[0] | (acc[1] << 4) | (acc[2] << 8)
+                     | (acc[3] << 12) | (acc[4] << 13)
+                     | (acc[5] << 14) | (acc[6] << 18)
+                     | (acc[7] << 22) | (acc[8] << 23) | fb)
+            if NID:
+                for g in range(G):
+                    BTb[g, pl.ds(rids[g], 1), :] = btrow[g:g + 1, :]
+            else:
+                BTb[:, t, :] = btrow
 
             # --- row max with reference tie-breaks (port of dp_xla) ---
             # closed form of the segment-roll ladder: lexicographic argmax
@@ -657,7 +724,7 @@ def make_band_kernel(cfg: BandConfig):
 
                 # successors pull this row's max position via rms
                 do_scat = actives[g] & jnp.logical_not(stop_now)
-                rms[g, t] = jnp.where(do_scat, RM_OK | (mi + 1), 0)
+                rms[g, rids[g]] = jnp.where(do_scat, RM_OK | (mi + 1), 0)
             return 0
 
         for g in range(G):
@@ -686,29 +753,33 @@ def make_band_kernel(cfg: BandConfig):
                     body(t, 0)
             return carry
         jax.lax.fori_loop(0, (R - 2 + U - 1) // U, body_unrolled, 0)
-        for g in range(G):
-            # the sink row is never swept: pin its bsn output and pull its
-            # band state (the host writes mpl/mpr back per row in the
-            # seeded path, sink included)
-            bsn_o[0, g, limit] = 0
-            iw = mplr0[0, g, limit]
-            npre_l = (ctrl[0, g, limit] >> 5) & 31
-            mpl = jnp.int32(1 << 29)
-            mpr = jnp.int32(-(1 << 29))
-            has_src = jnp.bool_(False)
-            for p in range(cfg.P):
-                pv = p < npre_l
-                pred = pre_at(g, limit, p)
-                w = rms[g, pred]
-                ok = pv & (w >= RM_OK)
-                v = w & (RM_OK - 1)
-                mpl = jnp.minimum(mpl, jnp.where(ok, v, 1 << 29))
-                mpr = jnp.maximum(mpr, jnp.where(ok, v, -(1 << 29)))
-                has_src = has_src | (pv & (pred == 0))
-            mpl = jnp.minimum(mpl, jnp.where(has_src, 1 << 29, iw & H16))
-            mpr = jnp.maximum(mpr, jnp.where(has_src, -(1 << 29),
-                                             iw >> 16))
-            mplr_o[0, g, limit] = mpl | (mpr << 16)
+        if not NID:
+            for g in range(G):
+                # the sink row is never swept: pin its bsn output and pull
+                # its band state (the host writes mpl/mpr back per row in
+                # the seeded path, sink included). nid mode skips this:
+                # the loop path never reads mplr, and band_cells masks to
+                # live node ids
+                bsn_o[0, g, limit] = 0
+                iw = mplr0[0, g, limit]
+                npre_l = (ctrl[0, g, limit] >> 5) & 31
+                mpl = jnp.int32(1 << 29)
+                mpr = jnp.int32(-(1 << 29))
+                has_src = jnp.bool_(False)
+                for p in range(cfg.P):
+                    pv = p < npre_l
+                    pred = pre_at(g, limit, p)
+                    w = rms[g, pred]
+                    ok = pv & (w >= RM_OK)
+                    v = w & (RM_OK - 1)
+                    mpl = jnp.minimum(mpl, jnp.where(ok, v, 1 << 29))
+                    mpr = jnp.maximum(mpr, jnp.where(ok, v, -(1 << 29)))
+                    has_src = has_src | (pv & (pred == 0))
+                mpl = jnp.minimum(mpl, jnp.where(has_src, 1 << 29,
+                                                 iw & H16))
+                mpr = jnp.maximum(mpr, jnp.where(has_src, -(1 << 29),
+                                                 iw >> 16))
+                mplr_o[0, g, limit] = mpl | (mpr << 16)
         bss = [stv[g, ST_BS] for g in range(G)]
         bis = [stv[g, ST_BI] for g in range(G)]
         bjs = [stv[g, ST_BJ] for g in range(G)]
@@ -718,8 +789,12 @@ def make_band_kernel(cfg: BandConfig):
         iq = jax.lax.broadcasted_iota(jnp.int32, (1, WB), 1)
         for g in range(G):
             if cfg.align_mode == GLOBAL_MODE:
-                sink = n_rowss[g] - 1
-                npre_sink = (ctrl[0, g, sink] >> 5) & 31
+                if NID:
+                    sink = jnp.int32(SINK_ROW)
+                    npre_sink = (ctrl[0, g, sink] >> 10) & 15
+                else:
+                    sink = n_rowss[g] - 1
+                    npre_sink = (ctrl[0, g, sink] >> 5) & 31
                 for p in range(cfg.P):
                     pv = p < npre_sink
                     pred = pre_at(g, sink, p)
@@ -735,7 +810,9 @@ def make_band_kernel(cfg: BandConfig):
                     bis[g] = jnp.where(better, pred, bis[g])
                     bjs[g] = jnp.where(better, ec, bjs[g])
             misc_o[0, g, M_BEST] = bss[g]
-            misc_o[0, g, M_BI] = bis[g]
+            # nid mode: bis is a node id; the misc/step contract stays in
+            # topo space for the host steps16 decode (bt_xla)
+            misc_o[0, g, M_BI] = n2i[0, g, bis[g]] if NID else bis[g]
             misc_o[0, g, M_BJ] = bjs[g]
             misc_o[0, g, M_CELLS] = cells[g]
             misc_o[0, g, M_OVFL] = ovfls[g].astype(jnp.int32)
@@ -900,7 +977,11 @@ def make_band_kernel(cfg: BandConfig):
 
                 @pl.when(any_hit)
                 def _():
-                    steps_o[0, g, nst] = op_code | (i << 2) | (j << 14)
+                    # nid mode: plane rows are node ids; the step stream
+                    # stays in topo space (host replay + steps16 deltas
+                    # rely on topo-monotone rows)
+                    ti = n2i[0, g, i] if NID else i
+                    steps_o[0, g, nst] = op_code | (ti << 2) | (j << 14)
                 nst = jnp.where(any_hit, nst + 1, nst)
                 new_i = jnp.where(use_m, m_pred,
                                   jnp.where(use_e, e_pred_sel, i))
@@ -939,7 +1020,8 @@ def make_band_kernel(cfg: BandConfig):
             for g in range(G):
                 misc_o[0, g, M_NSTEPS] = bts[g, BS_NST]
                 misc_o[0, g, M_FAIL] = bts[g, BS_FAIL]
-                misc_o[0, g, M_ENDI] = bts[g, BS_I]
+                misc_o[0, g, M_ENDI] = (n2i[0, g, bts[g, BS_I]] if NID
+                                        else bts[g, BS_I])
                 misc_o[0, g, M_ENDJ] = bts[g, BS_J]
         else:
             for g in range(G):
@@ -1098,13 +1180,136 @@ def band_poa_dp_batch(cfg: BandConfig, scal, bases, pre_idx, pre_n,
         misc = misc.at[:, M_CELLS].set(
             band_cells(cfg, scal, bsn, rowmask))
     st = steps.reshape(B, LS)
-    # delta-compress the step stream on device: i/j are non-increasing
-    # along the walk and pred jumps fit 13 bits (di <= R-1 < 4096)
+    s16 = steps16_compress(st, misc)
+    return BandOut(bsn & H16, bsn >> 16, mplr & H16, mplr >> 16,
+                   misc, st, s16)
+
+
+def steps16_compress(st, misc):
+    """Delta-compress the step stream on device: i/j are non-increasing
+    along the walk and pred jumps fit 13 bits (di <= R-1 < 4096)."""
     iseq = (st >> 2) & 0xFFF
     jseq = st >> 14
     prev_i = jnp.concatenate([misc[:, M_BI:M_BI + 1], iseq[:, :-1]], 1)
     prev_j = jnp.concatenate([misc[:, M_BJ:M_BJ + 1], jseq[:, :-1]], 1)
-    s16 = ((st & 3) | ((prev_j - jseq) << 2)
-           | ((prev_i - iseq) << 3)).astype(jnp.int16)
-    return BandOut(bsn & H16, bsn >> 16, mplr & H16, mplr >> 16,
-                   misc, st, s16)
+    return ((st & 3) | ((prev_j - jseq) << 2)
+            | ((prev_i - iseq) << 3)).astype(jnp.int16)
+
+
+def build_qpf(cfg: BandConfig, mat, qcodes):
+    """Query-profile fold: [..., m*(KW+1), WB] from query codes and the
+    m*m score matrix (the einsum half of band_poa_dp_batch, split out so
+    the device loop can precompute ALL rounds' folds before the scan).
+    qcodes: [..., Wq]; mat: [m*m]. Leading axes are free."""
+    i32 = jnp.int32
+    KW = cfg.Wq // cfg.WB
+    lead = qcodes.shape[:-1]
+    codes = qcodes.astype(i32).reshape(-1, cfg.Wq)
+    Bf = codes.shape[0]
+    onehot = (codes[:, None, :]
+              == jnp.arange(cfg.m, dtype=i32)[None, :, None])
+    matb = jnp.broadcast_to(
+        jnp.asarray(mat, i32).reshape(1, cfg.m, cfg.m),
+        (Bf, cfg.m, cfg.m))
+    qp = jnp.einsum("bkc,bcj->bkj", matb, onehot.astype(i32),
+                    preferred_element_type=i32)
+    qpf = jnp.concatenate(
+        [qp.reshape(Bf, cfg.m, KW, cfg.WB),
+         jnp.zeros((Bf, cfg.m, 1, cfg.WB), i32)], axis=2)
+    return qpf.reshape(*lead, cfg.m * (KW + 1), cfg.WB)
+
+
+def band_cells_nid(cfg: BandConfig, scal, bsn):
+    """band_cells for node-id plane space: live rows are the dense node
+    ids [2, node_n) (SRC=0 and SINK=1 excluded) — the same node set as
+    topo rows [1, n_rows-2], so the counts are identical."""
+    tix = jnp.arange(cfg.R, dtype=jnp.int32)[None, :]
+    live = (tix >= 2) & (tix < scal[:, S_NROWS, None])
+    return jnp.sum(
+        jnp.where(live, ((bsn >> 16) - (bsn & H16) + 1) * cfg.pn, 0),
+        axis=1)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def band_poa_dp_packed(cfg: BandConfig, scal, ctrl, inp, i2n, n2i, qpf,
+                       interpret=False):
+    """Batched DP+backtrack over the graph kernel's PACKED state — the
+    device loop's zero-glue entry. Planes live in node-id space: ctrl is
+    the graph ctrl word (base|n_out<<3|n_al<<7|n_in<<10|remain<<16), inp
+    the packed predecessor halves (node ids), and the sweep order comes
+    from i2n; no topo-space plane re-export (gathers) happens between
+    rounds. Requires cfg.nid and cfg.fresh, global mode. Returns BandOut
+    with mpl/mpr zeros (the loop path never reads them)."""
+    assert cfg.nid and cfg.fresh and cfg.align_mode == GLOBAL_MODE
+    B = ctrl.shape[0]
+    G = cfg.G
+    assert B % G == 0
+    NP_ = B // G
+    R, WB = cfg.R, cfg.WB
+    KW = cfg.Wq // WB
+    i32 = jnp.int32
+
+    def grp(x, *shape):
+        return x.astype(i32).reshape(NP_, G, *(shape if shape else (-1,)))
+
+    kern = make_band_kernel(cfg)
+
+    def vmem(*shape):
+        return pl.BlockSpec((1, G, *shape),
+                            lambda b: (b, 0, *([0] * len(shape))),
+                            memory_space=pltpu.VMEM)
+
+    def smem(*shape):
+        return pl.BlockSpec((1, G, *shape),
+                            lambda b: (b, 0, *([0] * len(shape))),
+                            memory_space=pltpu.SMEM)
+
+    LS = max(cfg.bt_lmax, 8)
+    out_shapes = (
+        jax.ShapeDtypeStruct((NP_, G, R), i32),       # beg_sn|end_sn<<16
+        jax.ShapeDtypeStruct((NP_, G, M_NMISC), i32),
+        jax.ShapeDtypeStruct((NP_, G, LS), i32),      # steps
+    )
+    out_specs = (smem(R), smem(M_NMISC), smem(LS))
+    in_specs = [smem(S_NSCAL), smem(R), smem(R), smem(R),
+                smem(R * cfg.P // 2), vmem(cfg.m * (KW + 1), WB)]
+    full = pltpu.VMEM((G, R, WB), i32)
+    dummy = pltpu.VMEM((G, 1, 128), i32)
+    gm_ = cfg.gap_mode
+    if gm_ == CONVEX_GAP:
+        planes_scratch = [full, full, full, full]
+    elif gm_ == LINEAR_GAP:
+        planes_scratch = [full, dummy, dummy, full]
+    else:
+        planes_scratch = [full, full, dummy, full]
+    outs = pl.pallas_call(
+        kern,
+        grid=(NP_,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=planes_scratch + [
+            pltpu.VMEM((G, 128), i32),            # colv per-g staging
+            pltpu.VMEM((2 * cfg.m, G, WB), i32),  # resident qp folds
+            pltpu.VMEM((G, WB), i32),    # hacc
+            pltpu.VMEM((G, WB), i32),    # e1acc
+            pltpu.VMEM((G, WB), i32),    # e2acc
+            pltpu.VMEM((4 * cfg.P, G, WB), i32),  # per-pred bt comparands
+            pltpu.VMEM((9, G, WB), i32),  # bt pick accumulators
+            pltpu.SMEM((G, R), i32),     # rms
+            pltpu.SMEM((G, 8), i32),     # sweep state
+            pltpu.SMEM((G, 12), i32),    # walker state
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(grp(scal[:, :S_NSCAL]), grp(i2n), grp(n2i), grp(ctrl),
+      grp(inp), grp(qpf, cfg.m * (KW + 1), WB))
+    (bsn, misc, steps) = outs
+    bsn = bsn.reshape(B, R)
+    misc = misc.reshape(B, M_NMISC)
+    misc = misc.at[:, M_CELLS].set(band_cells_nid(cfg, scal, bsn))
+    st = steps.reshape(B, LS)
+    s16 = steps16_compress(st, misc)
+    z = jnp.zeros((B, 1), i32)
+    return BandOut(bsn & H16, bsn >> 16, z, z, misc, st, s16)

@@ -73,6 +73,7 @@ class LoopConfig(NamedTuple):
     wbits: int = 4   # out-edge weight bits packed above the 16-wbits id
     #                  bits in the graph kernel (unit weights: max edge
     #                  weight = reads per instance; dispatcher sizes it)
+    gk: str = "smem"  # graph-kernel state residency (see GK_IMPL)
 
 
 class GState(NamedTuple):
@@ -546,44 +547,98 @@ ABLATE: frozenset = frozenset()
 FUSE_IMPL = "kernel"
 
 
+def _band_cfg(cfg: LoopConfig, nid: bool):
+    from .dp_pallas_band import BandConfig
+    return BandConfig(gap_mode=cfg.gap_mode, align_mode=GLOBAL_MODE,
+                      pn=cfg.pn, R=cfg.R, WB=cfg.WB, Wq=cfg.Wq, P=cfg.P,
+                      O=2, m=5, use_zdrop=cfg.use_zdrop, bt_lmax=cfg.LS,
+                      G=cfg.G, fresh=True, nid=nid)
+
+
+def build_scal(cfg: LoopConfig, ps: PackedState, qlen, scal_base, wb,
+               wf1000):
+    """Per-round scal rows from the carry: the only XLA glue left
+    between the two kernels. w = wb + (wf1000*qlen)//1000 matches the
+    host's int(wf*qlen) for the reference's wf=0.01 and qlen < 2**31/1000
+    (mirrors build_dp_inputs, which the packed path replaces)."""
+    import jax.numpy as jnp
+    from . import dp_pallas as dpp
+    B = ps.ctrl.shape[0]
+    i32 = jnp.int32
+    scal = jnp.broadcast_to(scal_base[None, :dpp.S_NSCAL],
+                            (B, dpp.S_NSCAL)).astype(i32)
+    scal = scal.at[:, dpp.S_W].set(wb + (wf1000 * qlen) // 1000)
+    scal = scal.at[:, dpp.S_QLEN].set(qlen)
+    scal = scal.at[:, dpp.S_NROWS].set(ps.node_n)
+    scal = scal.at[:, dpp.S_DPSN].set(qlen // cfg.pn + 1)
+    # remain of the last topo node (== SINK == -1 for whole-graph
+    # alignments; kept exact for future subgraph-rooted rounds)
+    lastn = _take1(ps.i2n, jnp.maximum(ps.node_n - 1, 0)[:, None])
+    scal = scal.at[:, dpp.S_REMEND].set(
+        _take1(ps.ctrl >> 16, lastn)[:, 0])
+    return scal
+
+
+def device_round_packed(cfg: LoopConfig, ps: PackedState, qlen, qpf, qp4,
+                        scal_base, wb, wf1000, interpret=False):
+    """One POA round entirely on device, zero-glue form: the nid-mode DP
+    kernel reads the packed graph state directly (node-id planes) and
+    the merged graph kernel updates it in place — the only XLA between
+    them is the scal build and the step stream repack."""
+    from .dp_pallas_band import band_poa_dp_packed
+    scal = build_scal(cfg, ps, qlen, scal_base, wb, wf1000)
+    bc = _band_cfg(cfg, nid=True)
+    out = band_poa_dp_packed(bc, scal, ps.ctrl, ps.inp, ps.i2n, ps.n2i,
+                             qpf, interpret=interpret)
+    if "graph" in GK_ABLATE:     # attribution probe: DP-only timing
+        return ps, out.misc, out.steps16
+    ps2 = graph_update_packed(cfg, ps, out.steps, out.misc, qlen, qp4,
+                              interpret=interpret)
+    return ps2, out.misc, out.steps16
+
+
 def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
                  qlen, scal_base, wb, wf1000, interpret=False):
-    """One POA round entirely on device: DP+walk on the current planes,
-    vectorized fusion, re-sort, remain, plane state for the next round.
-    Returns (new carry..., per-round outputs (steps16, misc))."""
+    """One POA round entirely on device (GState API for tests/fuzzers).
+    FUSE_IMPL "kernel" routes through the packed zero-glue path the
+    production scan runs; "xla"/ABLATE keep the cross-checked vectorized
+    implementations (fuse_batch + topo_batch + remain_batch)."""
     import jax.numpy as jnp
-    from .dp_pallas_band import BandConfig, band_poa_dp_batch
+    from .dp_pallas_band import band_poa_dp_batch, build_qpf
+    if FUSE_IMPL == "kernel" and not ABLATE:
+        from . import dp_pallas as dpp
+        bc = _band_cfg(cfg, nid=True)
+        ps = pack_state(cfg, st, i2n, n2i, remain)
+        qpf = build_qpf(bc, scal_base[dpp.S_NSCAL:], qcodes)
+        qp4 = pack_qp4(cfg, qcodes)
+        ps2, misc, s16 = device_round_packed(
+            cfg, ps, qlen, qpf, qp4, scal_base, wb, wf1000,
+            interpret=interpret)
+        st2, i2n2, n2i2, remain2 = unpack_state(cfg, ps2)
+        return st2, i2n2, n2i2, remain2, misc, s16
     B = cfg.B
     i8 = jnp.int8
     i16 = jnp.int16
     scal, bases_row, pre_idx, pre_nn, remain_row = build_dp_inputs(
         cfg, st, i2n, n2i, remain, qlen, scal_base, wb, wf1000)
-    bc = BandConfig(gap_mode=cfg.gap_mode, align_mode=GLOBAL_MODE,
-                    pn=cfg.pn, R=cfg.R, WB=cfg.WB, Wq=cfg.Wq, P=cfg.P,
-                    O=2, m=5, use_zdrop=cfg.use_zdrop, bt_lmax=cfg.LS,
-                    G=cfg.G, fresh=True)
+    bc = _band_cfg(cfg, nid=False)
     dummy = jnp.zeros((B, 1), i8)
     out = band_poa_dp_batch(
         bc, scal, bases_row.astype(i8),
         pre_idx.reshape(B, cfg.R * cfg.P).astype(i16),
         pre_nn.astype(i8), dummy, dummy, remain_row.astype(i16),
         qcodes.astype(i8), dummy, dummy, dummy, interpret=interpret)
-    if FUSE_IMPL == "kernel" and not (ABLATE & {"fuse", "topo"}):
-        st2, i2n2, n2i2 = graph_update_batch(
-            cfg, st, i2n, out.steps, out.misc, qcodes, qlen,
-            interpret=interpret)
+    if "fuse" in ABLATE:
+        st2 = st
     else:
-        if "fuse" in ABLATE:
-            st2 = st
-        else:
-            st2 = fuse_batch(cfg, st, i2n, out.steps, out.misc, qcodes,
-                             qlen)
-        if "topo" in ABLATE:
-            i2n2, n2i2 = i2n, n2i
-        else:
-            i2n2, n2i2, ok = topo_batch(cfg, st2, interpret=interpret)
-            fail = st2.fail | ((ok == 0) & (qlen > 0)).astype(jnp.int32)
-            st2 = st2._replace(fail=fail)
+        st2 = fuse_batch(cfg, st, i2n, out.steps, out.misc, qcodes,
+                         qlen)
+    if "topo" in ABLATE:
+        i2n2, n2i2 = i2n, n2i
+    else:
+        i2n2, n2i2, ok = topo_batch(cfg, st2, interpret=interpret)
+        fail = st2.fail | ((ok == 0) & (qlen > 0)).astype(jnp.int32)
+        st2 = st2._replace(fail=fail)
     remain2 = remain if "remain" in ABLATE else remain_batch(cfg, st2)
     return st2, i2n2, n2i2, remain2, out.misc, out.steps16
 
@@ -591,23 +646,28 @@ def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
 def poa_device_loop(cfg: LoopConfig, st0: GState, i2n0, n2i0, remain0,
                     qcodes_rounds, qlen_rounds, scal_base, wb, wf1000,
                     interpret=False):
-    """lax.scan over NR rounds; ONE dispatch. Returns
-    (final GState, misc [NR, B, M_NMISC], steps16 [NR, B, LS])."""
+    """lax.scan over NR rounds on the PACKED carry; ONE dispatch. The
+    query-profile folds and packed query codes for ALL rounds are
+    precomputed before the scan (they depend only on the xs). Returns
+    (final PackedState, misc [NR, B, M_NMISC], steps16 [NR, B, LS])."""
     import jax
-    import jax.numpy as jnp
+    from .dp_pallas_band import build_qpf
+    from . import dp_pallas as dpp
+    ps0 = pack_state(cfg, st0, i2n0, n2i0, remain0)
+    bc = _band_cfg(cfg, nid=True)
+    qpf_rounds = build_qpf(bc, scal_base[dpp.S_NSCAL:], qcodes_rounds)
+    qp4_rounds = pack_qp4(cfg, qcodes_rounds)
 
-    def body(carry, xs):
-        st, i2n, n2i, remain = carry
-        qc, ql = xs
-        st2, i2n2, n2i2, remain2, misc, s16 = device_round(
-            cfg, st, i2n, n2i, remain, qc, ql, scal_base, wb, wf1000,
+    def body(ps, xs):
+        ql, qpf, qp4 = xs
+        ps2, misc, s16 = device_round_packed(
+            cfg, ps, ql, qpf, qp4, scal_base, wb, wf1000,
             interpret=interpret)
-        return (st2, i2n2, n2i2, remain2), (misc, s16)
+        return ps2, (misc, s16)
 
-    (stF, _, _, _), (misc, s16) = jax.lax.scan(
-        body, (st0, i2n0, n2i0, remain0),
-        (qcodes_rounds, qlen_rounds))
-    return stF, misc, s16
+    psF, (misc, s16) = jax.lax.scan(
+        body, ps0, (qlen_rounds, qpf_rounds, qp4_rounds))
+    return psF, misc, s16
 
 
 _LOOP_JIT_CACHE: dict = {}
@@ -702,18 +762,38 @@ def make_scal_base(params, cfg: LoopConfig):
 
 
 # ------------------------------------------------------------------ #
-# merged graph kernel: scalar-SMEM fusion replay + Kahn toposort in ONE
-# Pallas program. The XLA fuse_batch is semantically identical but its
-# scatters serialize on TPU (~77 ms/round at B=64, the round-4 phase
-# ablation); the scalar replay is a direct transcription of the C
-# semantics (native/poagraph.c pg_fuse_steps; ref src/abpoa_graph.c:
-# 596-672) at ~ns/op in SMEM. State crosses as packed 16-bit halves and
-# is mutated in place via input_output_aliasing.
+# merged graph kernel: scalar-SMEM fusion replay + Kahn toposort +
+# max_remain in ONE Pallas program. The XLA fuse_batch is semantically
+# identical but its scatters serialize on TPU (~77 ms/round at B=64,
+# the round-4 phase ablation); the scalar replay is a direct
+# transcription of the C semantics (native/poagraph.c pg_fuse_steps;
+# ref src/abpoa_graph.c:596-672) at ~ns/op in SMEM. State crosses the
+# rounds as packed 16-bit halves (PackedState) and is mutated in place.
+#
+# State-residency impls (GK_IMPL / the `impl` arg):
+#   "scalar": state as SMEM in+out blocks, scalar copy-in loop (the
+#             round-4 shape; always works, GT<=4 SMEM budget)
+#   "smem":   state as SMEM in+out blocks, DMA copy-in (kills the ~13*R
+#             scalar ops/program of the copy loop)
+#   "any":    state stays in HBM (pl.ANY, aliased in==out), DMA'd into
+#             SMEM scratch and back per program — halves the SMEM
+#             footprint (no input/output double residency) so GT=8 fits
 
-def make_graph_kernel(cfg: LoopConfig):
+GK_IMPL = "smem"
+
+# phase-ablation switch for performance attribution (bench/debug only,
+# read at TRACE time — set before the first dispatch of a config, use a
+# fresh process per setting): "graph" skips the whole graph kernel in
+# device_round_packed; "fuse"/"topo"/"remain" skip that pass inside the
+# kernel (outputs are then wrong; timings isolate the remaining phases).
+GK_ABLATE: frozenset = frozenset()
+
+
+def make_graph_kernel2(cfg: LoopConfig, impl: str):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
     R, E, P, A, G, LS = cfg.R, cfg.E, cfg.P, cfg.A, cfg.GT, cfg.LS
     E2, P2, A2 = E // 2, P // 2, (A + 1) // 2
     WB_ = cfg.wbits
@@ -721,36 +801,22 @@ def make_graph_kernel(cfg: LoopConfig):
     IDM = (1 << IDB) - 1
     WONE = 1 << IDB        # +1 to the packed weight
     # ctrl word: base(3) | n_out(4)<<3 | n_al(3)<<7 | n_in(4)<<10
+    #            | max_remain(16, signed)<<16
     # out halves: id(IDB) | weight(WB_)<<IDB — R <= 2^IDB and per-edge
     # weight < 2^WB_ are eligibility guards in the dispatcher
     (FS_T, FS_LAST, FS_LNEW, FS_NN, FS_FAIL, FS_LIVE, FS_DONE,
      FS_QID) = range(8)
     (SV_HEAD, SV_TAIL, SV_IDX, SV_DONE) = range(4)
 
-    def kernel(msc, i2n_in, steps, qp4,
-               ctrl_i, outp_i, inp_i, alp_i,
-               ctrl, outp, inp, alp,
-               i2n_o, n2i_o, stat_o,
-               indeg, q, fsv, stv):
-        # The state lives in the OUTPUT refs. Output SMEM blocks are NOT
-        # initialized from the aliased HBM buffers on the compiled
-        # backend (aliasing only donates HBM), so copy the input blocks
-        # in explicitly before mutating.
-        def cp_in(t, c):
+    def body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+             i2n_o, n2i_o, stat_o, indeg, q, fsv, stv):
+        # in-degree scratch seeds from the PRE-fusion counts; fusion's
+        # in-append sites bump it incrementally
+        def seed(t, c):
             for g in range(G):
-                w = ctrl_i[0, g, t]
-                ctrl[0, g, t] = w
-                # in-degree scratch seeds from the PRE-fusion counts;
-                # fusion's in-append sites bump it incrementally
-                indeg[g, t] = (w >> 10) & 15
-                for e in range(E2):
-                    outp[0, g, t * E2 + e] = outp_i[0, g, t * E2 + e]
-                for pp in range(P2):
-                    inp[0, g, t * P2 + pp] = inp_i[0, g, t * P2 + pp]
-                for a in range(A2):
-                    alp[0, g, t * A2 + a] = alp_i[0, g, t * A2 + a]
+                indeg[g, t] = (ctrl[0, g, t] >> 10) & 15
             return c
-        jax.lax.fori_loop(0, R, cp_in, 0)
+        jax.lax.fori_loop(0, R, seed, 0)
 
         def half_get(ref, g, base_w, k):
             w = ref[0, g, base_w + (k >> 1)]
@@ -917,7 +983,8 @@ def make_graph_kernel(cfg: LoopConfig):
                 na += jnp.where(done, 0, 1)
             return na
 
-        jax.lax.while_loop(lambda a: a > 0, fuse_body, jnp.int32(G))
+        if "fuse" not in GK_ABLATE:
+            jax.lax.while_loop(lambda a: a > 0, fuse_body, jnp.int32(G))
 
         # final edge last -> SINK (ref pg_fuse_steps tail)
         for g in range(G):
@@ -1021,7 +1088,43 @@ def make_graph_kernel(cfg: LoopConfig):
                                 1, 0)
             return na
 
-        jax.lax.while_loop(lambda a: a > 0, topo_body, jnp.int32(G))
+        if "topo" not in GK_ABLATE:
+            jax.lax.while_loop(lambda a: a > 0, topo_body, jnp.int32(G))
+
+        # ------- max_remain in reverse topo order (packed into the ----
+        # ctrl word's upper half so the DP kernel reads base/degrees/
+        # remain in ONE SMEM word). Values of ref src/abpoa_graph.c:
+        # 233-274 with remain_batch's first-max tie-break (max weight,
+        # lowest slot); remain[SINK] = -1 (ref :244). Reverse topo order
+        # guarantees the heaviest successor's remain is already final.
+        # Runs for skipped instances too (same state -> same values) and
+        # over garbage state on failed instances (clamped reads; the
+        # instance is dead either way).
+        def rem_body(k, c):
+            for g in range(G):
+                nn = fsv[g, FS_NN]
+
+                @pl.when(k < nn)
+                def _(g=g, nn=nn):
+                    u = jnp.clip(i2n_o[0, g, nn - 1 - k], 0, R - 1)
+                    cw = ctrl[0, g, u]
+                    no = (cw >> 3) & 15
+                    bw = jnp.int32(-1)
+                    bv = jnp.int32(SINK_NODE_ID)
+                    for e in range(E):
+                        hw = outp[0, g, u * E2 + (e >> 1)]
+                        hv = (hw >> (16 * (e & 1))) & 0xFFFF
+                        take = (e < no) & ((hv >> IDB) > bw)
+                        bv = jnp.where(take, hv & IDM, bv)
+                        bw = jnp.where(take, hv >> IDB, bw)
+                    rem = jnp.where(
+                        u == SINK_NODE_ID, jnp.int32(-1),
+                        (ctrl[0, g, jnp.minimum(bv, R - 1)] >> 16) + 1)
+                    ctrl[0, g, u] = (cw & 0xFFFF) | (rem << 16)
+            return c
+        if "remain" not in GK_ABLATE:
+            jax.lax.fori_loop(0, R, rem_body, 0)
+
         for g in range(G):
             fail = fsv[g, FS_FAIL] | msc[0, g, 6] \
                 | (msc[0, g, 4] & (msc[0, g, 0] > 0).astype(jnp.int32))
@@ -1031,59 +1134,198 @@ def make_graph_kernel(cfg: LoopConfig):
                            & jnp.logical_not(topo_ok)).astype(jnp.int32)
             stat_o[0, g, 0] = nn
             stat_o[0, g, 1] = fail
+
+    if impl == "any":
+        def kernel(msc, i2n_in, steps, qp4,
+                   ctrl_h, outp_h, inp_h, alp_h,
+                   ctrl_ho, outp_ho, inp_ho, alp_ho,
+                   i2n_o, n2i_o, stat_o,
+                   ctrl, outp, inp, alp, indeg, q, fsv, stv, sems):
+            # state lives in HBM (aliased in==out); DMA the program's
+            # slice into SMEM scratch, mutate, DMA back
+            b = pl.program_id(0)
+            ins = ((ctrl_h, ctrl), (outp_h, outp), (inp_h, inp),
+                   (alp_h, alp))
+            dmas = [pltpu.make_async_copy(src.at[b], dst.at[0],
+                                          sems.at[i])
+                    for i, (src, dst) in enumerate(ins)]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+            body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+                 i2n_o, n2i_o, stat_o, indeg, q, fsv, stv)
+            outs = ((ctrl, ctrl_ho), (outp, outp_ho), (inp, inp_ho),
+                    (alp, alp_ho))
+            dmas = [pltpu.make_async_copy(src.at[0], dst.at[b],
+                                          sems.at[i])
+                    for i, (src, dst) in enumerate(outs)]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+    elif impl == "smem":
+        def kernel(msc, i2n_in, steps, qp4,
+                   ctrl_i, outp_i, inp_i, alp_i,
+                   ctrl, outp, inp, alp,
+                   i2n_o, n2i_o, stat_o,
+                   indeg, q, fsv, stv, sems):
+            # Output SMEM blocks are NOT initialized from the aliased
+            # HBM buffers on the compiled backend (aliasing only donates
+            # HBM); DMA the input blocks across instead of the round-4
+            # scalar copy loop (~13*R scalar ops/program)
+            ins = ((ctrl_i, ctrl), (outp_i, outp), (inp_i, inp),
+                   (alp_i, alp))
+            dmas = [pltpu.make_async_copy(src, dst, sems.at[i])
+                    for i, (src, dst) in enumerate(ins)]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+            body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+                 i2n_o, n2i_o, stat_o, indeg, q, fsv, stv)
+    else:  # "scalar"
+        def kernel(msc, i2n_in, steps, qp4,
+                   ctrl_i, outp_i, inp_i, alp_i,
+                   ctrl, outp, inp, alp,
+                   i2n_o, n2i_o, stat_o,
+                   indeg, q, fsv, stv):
+            def cp_in(t, c):
+                for g in range(G):
+                    ctrl[0, g, t] = ctrl_i[0, g, t]
+                    for e in range(E2):
+                        outp[0, g, t * E2 + e] = outp_i[0, g, t * E2 + e]
+                    for pp in range(P2):
+                        inp[0, g, t * P2 + pp] = inp_i[0, g, t * P2 + pp]
+                    for a in range(A2):
+                        alp[0, g, t * A2 + a] = alp_i[0, g, t * A2 + a]
+                return c
+            jax.lax.fori_loop(0, R, cp_in, 0)
+            body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+                 i2n_o, n2i_o, stat_o, indeg, q, fsv, stv)
     return kernel
 
 
-def graph_update_batch(cfg: LoopConfig, st: GState, i2n, steps, misc,
-                       qcodes, qlen, interpret=False):
-    """Fusion + re-sort of one round via the merged Pallas graph kernel.
-    Same contract as fuse_batch + topo_batch combined. Instances whose
-    round was bad/failed (or qlen 0) keep their state; capacity or topo
-    failure sets the sticky fail flag."""
+class PackedState(NamedTuple):
+    """The device loop's scan carry: the graph state in the packed form
+    both kernels consume directly — no per-round pack/unpack/gather glue.
+    ctrl: base(3)|n_out(4)<<3|n_al(3)<<7|n_in(4)<<10|remain(16,s)<<16;
+    outp: out-edge halves id|w<<(16-wbits); inp/alp: id halves."""
+    ctrl: "jax.Array"     # [B, R] i32
+    outp: "jax.Array"     # [B, R*E//2] i32
+    inp: "jax.Array"      # [B, R*P//2] i32
+    alp: "jax.Array"      # [B, R*(A+1)//2] i32
+    i2n: "jax.Array"      # [B, R] i32
+    n2i: "jax.Array"      # [B, R] i32
+    node_n: "jax.Array"   # [B] i32
+    fail: "jax.Array"     # [B] i32 (sticky)
+
+
+def _pack2(x, B, R, k2):
+    import jax.numpy as jnp
+    i32 = jnp.int32
+    x = x.astype(i32) & 0xFFFF
+    if x.shape[2] % 2:
+        x = jnp.concatenate([x, jnp.zeros((B, R, 1), i32)], axis=2)
+    return (x[:, :, 0::2] | (x[:, :, 1::2] << 16)).reshape(B, R * k2)
+
+
+def _unpack2(x, B, R, k, cap):
+    import jax.numpy as jnp
+    x = x.reshape(B, R, k)
+    lo = x & 0xFFFF
+    hi = (x >> 16) & 0xFFFF
+    full = jnp.stack([lo, hi], axis=3).reshape(B, R, 2 * k)
+    return full[:, :, :cap]
+
+
+def pack_state(cfg: LoopConfig, st: GState, i2n, n2i, remain):
+    """GState (+ topo/remain arrays, node-id indexed) -> PackedState."""
+    import jax.numpy as jnp
+    i32 = jnp.int32
+    B, R = st.bases.shape[0], cfg.R
+    E2, P2, A2 = cfg.E // 2, cfg.P // 2, (cfg.A + 1) // 2
+    IDB = 16 - cfg.wbits
+    st = GState(*(jnp.asarray(x) for x in st))
+    ctrl = (st.bases.astype(i32) | (st.n_out.astype(i32) << 3)
+            | (st.n_al.astype(i32) << 7) | (st.n_in.astype(i32) << 10)
+            | ((jnp.asarray(remain).astype(i32) & 0xFFFF) << 16))
+    outp = _pack2(st.out_ids.astype(i32)
+                  | (st.out_w.astype(i32) << IDB), B, R, E2)
+    inp = _pack2(st.in_ids, B, R, P2)
+    alp = _pack2(st.al_ids, B, R, A2)
+    return PackedState(ctrl, outp, inp, alp, jnp.asarray(i2n),
+                       jnp.asarray(n2i), st.node_n, st.fail)
+
+
+def unpack_state(cfg: LoopConfig, ps: PackedState):
+    """PackedState -> (GState, i2n, n2i, remain) for tests/fallbacks."""
+    B, R = ps.ctrl.shape[0], cfg.R
+    E, P, A = cfg.E, cfg.P, cfg.A
+    E2, P2, A2 = E // 2, P // 2, (A + 1) // 2
+    IDB = 16 - cfg.wbits
+    ctrl = ps.ctrl
+    ow = _unpack2(ps.outp, B, R, E2, E)
+    st = GState(
+        bases=ctrl & 7,
+        out_ids=ow & ((1 << IDB) - 1), out_w=ow >> IDB,
+        n_out=(ctrl >> 3) & 15,
+        in_ids=_unpack2(ps.inp, B, R, P2, P), n_in=(ctrl >> 10) & 15,
+        al_ids=_unpack2(ps.alp, B, R, A2, A), n_al=(ctrl >> 7) & 7,
+        node_n=ps.node_n, fail=ps.fail)
+    return st, ps.i2n, ps.n2i, ctrl >> 16
+
+
+def pack_steps2(cfg: LoopConfig, steps):
+    """Step words -> op(2)|row(12) 16-bit halves, 2/word: the scalar
+    fusion replay tracks the query position incrementally (C's
+    query_id), so the column bits never ship."""
+    import jax.numpy as jnp
+    i32 = jnp.int32
+    sp = (steps & 3) | (((steps >> 2) & 0xFFF) << 2)
+    if cfg.LS % 2:
+        sp = jnp.concatenate(
+            [sp, jnp.zeros(sp.shape[:-1] + (1,), i32)], axis=-1)
+    return (sp[..., 0::2] & 0xFFFF) | (sp[..., 1::2] << 16)
+
+
+def pack_qp4(cfg: LoopConfig, qcodes):
+    """Query codes -> 4 bases/word for the graph kernel's SMEM reads.
+    Leading axes free (the loop precomputes all rounds before the scan)."""
+    import jax.numpy as jnp
+    i32 = jnp.int32
+    qb = qcodes.astype(i32) & 0xFF
+    if cfg.Wq % 4:
+        pad = qb.shape[:-1] + (4 - cfg.Wq % 4,)
+        qb = jnp.concatenate([qb, jnp.zeros(pad, i32)], axis=-1)
+    return (qb[..., 0::4] | (qb[..., 1::4] << 8) | (qb[..., 2::4] << 16)
+            | (qb[..., 3::4] << 24))
+
+
+def graph_update_packed(cfg: LoopConfig, ps: PackedState, steps, misc,
+                        qlen, qp4, interpret=False, impl=None):
+    """Fusion + re-sort + max_remain of one round on the PACKED state via
+    the merged Pallas graph kernel. Instances whose round was bad/failed
+    (or qlen 0) keep their state; capacity or topo failure sets the
+    sticky fail flag. steps: [B, LS] int32 op|row<<2|col<<14 (BandOut
+    order); qp4: [B, ceil(Wq/4)] packed query codes."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from . import dp_pallas as dpp
-    B, R, E, P, A, G = cfg.B, cfg.R, cfg.E, cfg.P, cfg.A, cfg.GT
+    B, R, E, P, A, G = ps.ctrl.shape[0], cfg.R, cfg.E, cfg.P, cfg.A, cfg.GT
     E2, P2, A2 = E // 2, P // 2, (A + 1) // 2
-    IDB = 16 - cfg.wbits
     NP_ = B // G
     i32 = jnp.int32
+    impl = cfg.gk if impl is None else impl
 
-    def pack2(x, k2):
-        x = x.astype(i32) & 0xFFFF
-        if x.shape[2] % 2:
-            x = jnp.concatenate(
-                [x, jnp.zeros((B, R, 1), i32)], axis=2)
-        return (x[:, :, 0::2] | (x[:, :, 1::2] << 16)).reshape(B, R * k2)
-
-    ctrl = (st.bases.astype(i32) | (st.n_out.astype(i32) << 3)
-            | (st.n_al.astype(i32) << 7) | (st.n_in.astype(i32) << 10))
-    # out halves carry id | weight<<IDB (dispatcher guards the ranges)
-    outp = pack2(st.out_ids.astype(i32)
-                 | (st.out_w.astype(i32) << IDB), E2)
-    inp = pack2(st.in_ids, P2)
-    alp = pack2(st.al_ids, A2)
-    # steps packed 2/word as op(2)|row(12) halves: the scalar replay
-    # tracks the query position incrementally (C's query_id), so the
-    # column bits never ship
-    sp = (steps & 3) | (((steps >> 2) & 0xFFF) << 2)
-    if cfg.LS % 2:
-        sp = jnp.concatenate([sp, jnp.zeros((B, 1), i32)], axis=1)
-    sp2 = (sp[:, 0::2] & 0xFFFF) | (sp[:, 1::2] << 16)
+    sp2 = pack_steps2(cfg, steps)
     bad = (misc[:, dpp.M_OVFL] | misc[:, dpp.M_FAIL]) > 0
     msc = jnp.stack(
         [qlen, jnp.maximum(misc[:, dpp.M_ENDJ], 0), misc[:, dpp.M_BJ],
-         misc[:, dpp.M_NSTEPS], bad.astype(i32), st.node_n,
-         st.fail], axis=1)
-    qb = qcodes.astype(i32) & 0xFF
-    Wq4 = (cfg.Wq + 3) // 4
-    if cfg.Wq % 4:
-        qb = jnp.concatenate(
-            [qb, jnp.zeros((B, 4 - cfg.Wq % 4), i32)], axis=1)
-    qp4 = (qb[:, 0::4] | (qb[:, 1::4] << 8) | (qb[:, 2::4] << 16)
-           | (qb[:, 3::4] << 24))
+         misc[:, dpp.M_NSTEPS], bad.astype(i32), ps.node_n,
+         ps.fail], axis=1)
 
     def grp(x):
         return x.reshape(NP_, G, -1)
@@ -1092,50 +1334,66 @@ def graph_update_batch(cfg: LoopConfig, st: GState, i2n, steps, misc,
         return pl.BlockSpec((1, G, k), lambda b: (b, 0, 0),
                             memory_space=pltpu.SMEM)
 
-    kern = make_graph_kernel(cfg)
+    kern = make_graph_kernel2(cfg, impl)
     LS2 = sp2.shape[1]
-    out_shapes = (
-        jax.ShapeDtypeStruct((NP_, G, R), i32),        # ctrl (aliased)
-        jax.ShapeDtypeStruct((NP_, G, R * E2), i32),   # outp (id|w)
-        jax.ShapeDtypeStruct((NP_, G, R * P2), i32),   # inp
-        jax.ShapeDtypeStruct((NP_, G, R * A2), i32),   # alp
+    state_k = (R, R * E2, R * P2, R * A2)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((NP_, G, k), i32) for k in state_k) + (
         jax.ShapeDtypeStruct((NP_, G, R), i32),        # i2n
         jax.ShapeDtypeStruct((NP_, G, R), i32),        # n2i
         jax.ShapeDtypeStruct((NP_, G, 2), i32),        # node_n, fail
     )
+    in_specs = [smem(8), smem(R), smem(LS2), smem(Wq4_of(cfg))]
+    scratch = [pltpu.SMEM((G, R), i32),   # indeg
+               pltpu.SMEM((G, R), i32),   # queue
+               pltpu.SMEM((G, 8), i32),   # fusion state
+               pltpu.SMEM((G, 4), i32)]   # topo state
+    if impl == "any":
+        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        in_specs += [anyspec] * 4
+        out_specs = (anyspec,) * 4 + (smem(R), smem(R), smem(2))
+        # state scratch (the DMA targets) + 4 DMA semaphores
+        scratch = [pltpu.SMEM((1, G, k), i32) for k in state_k] \
+            + scratch + [pltpu.SemaphoreType.DMA((4,))]
+    else:
+        in_specs += [smem(k) for k in state_k]
+        out_specs = tuple(smem(k) for k in state_k) \
+            + (smem(R), smem(R), smem(2))
+        if impl == "smem":
+            scratch = scratch + [pltpu.SemaphoreType.DMA((4,))]
     outs = pl.pallas_call(
         kern,
         grid=(NP_,),
         out_shape=out_shapes,
-        in_specs=[smem(8), smem(R), smem(LS2), smem(Wq4),
-                  smem(R), smem(R * E2), smem(R * P2), smem(R * A2)],
-        out_specs=tuple(
-            smem(k) for k in (R, R * E2, R * P2, R * A2, R, R, 2)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
-        scratch_shapes=[pltpu.SMEM((G, R), i32),   # indeg
-                        pltpu.SMEM((G, R), i32),   # queue
-                        pltpu.SMEM((G, 8), i32),   # fusion state
-                        pltpu.SMEM((G, 4), i32)],  # topo state
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(grp(jnp.pad(msc, ((0, 0), (0, 1)))), grp(i2n), grp(sp2),
-      grp(qp4), grp(ctrl), grp(outp), grp(inp), grp(alp))
+    )(grp(jnp.pad(msc, ((0, 0), (0, 1)))), grp(ps.i2n), grp(sp2),
+      grp(qp4), grp(ps.ctrl), grp(ps.outp), grp(ps.inp), grp(ps.alp))
     (ctrl2, outp2, inp2, alp2, i2n2, n2i2, stat) = outs
+    stat = stat.reshape(B, 2)
+    return PackedState(ctrl2.reshape(B, R), outp2.reshape(B, R * E2),
+                       inp2.reshape(B, R * P2), alp2.reshape(B, R * A2),
+                       i2n2.reshape(B, R), n2i2.reshape(B, R),
+                       stat[:, 0], stat[:, 1])
 
-    def unpack2(x, k, cap):
-        x = x.reshape(B, R, k)
-        lo = x & 0xFFFF
-        hi = (x >> 16) & 0xFFFF
-        full = jnp.stack([lo, hi], axis=3).reshape(B, R, 2 * k)
-        return full[:, :, :cap]
 
-    ctrl2 = ctrl2.reshape(B, R)
-    ow = unpack2(outp2, E2, E)
-    st2 = GState(
-        bases=ctrl2 & 7,
-        out_ids=ow & ((1 << IDB) - 1), out_w=ow >> IDB,
-        n_out=(ctrl2 >> 3) & 15,
-        in_ids=unpack2(inp2, P2, P), n_in=(ctrl2 >> 10) & 15,
-        al_ids=unpack2(alp2, A2, A), n_al=(ctrl2 >> 7) & 7,
-        node_n=stat.reshape(B, 2)[:, 0],
-        fail=stat.reshape(B, 2)[:, 1])
-    return st2, i2n2.reshape(B, R), n2i2.reshape(B, R)
+def Wq4_of(cfg: LoopConfig) -> int:
+    return (cfg.Wq + 3) // 4
+
+
+def graph_update_batch(cfg: LoopConfig, st: GState, i2n, steps, misc,
+                       qcodes, qlen, interpret=False):
+    """GState-API compatibility wrapper over graph_update_packed (tests
+    cross-check it against fuse_batch + topo_batch). Same contract as
+    before; remain is recomputed in-kernel and dropped here."""
+    import jax.numpy as jnp
+    zeros = jnp.zeros_like(jnp.asarray(i2n))
+    ps = pack_state(cfg, st, i2n, zeros, zeros)
+    qp4 = pack_qp4(cfg, qcodes)
+    ps2 = graph_update_packed(cfg, ps, steps, misc, qlen, qp4,
+                              interpret=interpret)
+    st2, i2n2, n2i2, _ = unpack_state(cfg, ps2)
+    return st2, i2n2, n2i2

@@ -1130,10 +1130,24 @@ def _loop_geometry(params, instances):
     LS = (R + Wq + 63) // 64 * 64
     if Wq >= 32000 or R > 4096:
         return None
+    import os
     G = pick_band_G(params.gap_mode, R, WB, 8, params.m, LS)
     if G < 4:
         return None
     GT = 4                          # graph kernel SMEM budget
+    # test hook: interpret-mode traces unroll the kernel bodies per g,
+    # so suite runs cap the packing to keep compiles seconds not minutes
+    g_env = os.environ.get("ABPOA_LOOP_G")
+    if g_env:
+        G = min(G, max(1, int(g_env)))
+        GT = min(GT, G)
+    # graph-kernel state residency + packing (bench probes): "any" keeps
+    # the packed state HBM-resident (DMA'd per program), whose halved
+    # SMEM footprint admits GT=8
+    gk = os.environ.get("ABPOA_GK_IMPL", "smem")
+    gt_env = os.environ.get("ABPOA_LOOP_GT")
+    if gt_env:
+        GT = max(1, int(gt_env))
     # out-edge weights pack above the node-id bits in 16-bit halves:
     # unit weights bound the max edge weight by reads-per-instance
     max_reads = max(len(reads) for reads in instances)
@@ -1143,7 +1157,10 @@ def _loop_geometry(params, instances):
     return LoopConfig(R=R, E=12, P=8, A=4, Wq=Wq, WB=WB, LS=LS, NR=NR,
                       B=0, G=G, GT=GT, pn=pn, inf_min=inf_min,
                       gap_mode=params.gap_mode,
-                      use_zdrop=params.zdrop > 0, wbits=wbits)
+                      use_zdrop=params.zdrop > 0, wbits=wbits, gk=gk)
+
+
+_LOOP_MESH_CACHE: dict = {}
 
 
 class _DeviceLoop:
@@ -1154,12 +1171,37 @@ class _DeviceLoop:
         self.abs_ = abs_
         self.instances = instances
 
+    def _loop_callable(self, cfg, interp):
+        """The jitted scanned loop; over a mesh, shard_map'd data-parallel
+        across the batch axis (instances are independent — the scan
+        carries per-instance state only, so the sharded loop needs no
+        collectives). Cached process-globally per static config."""
+        from ..ops import poa_loop as pls
+        bp = self.bp
+        if bp.mesh is None:
+            return pls.poa_device_loop_jit(cfg, interpret=interp)
+        import jax
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        key = (cfg, interp, tuple(d.id for d in bp.mesh.devices.flat),
+               tuple(bp.mesh.axis_names), bp.batch_axis)
+        if key not in _LOOP_MESH_CACHE:
+            Pb = P(bp.batch_axis)          # [B, ...] leaves
+            Pr = P(None, bp.batch_axis)    # [NR, B, ...] round stacks
+            Pn = P()                       # replicated scalars/params
+            _LOOP_MESH_CACHE[key] = jax.jit(jax.shard_map(
+                partial(pls.poa_device_loop, cfg, interpret=interp),
+                mesh=bp.mesh,
+                in_specs=(Pb, Pb, Pb, Pb, Pr, Pr, Pn, Pn, Pn),
+                out_specs=(Pb, Pr, Pr), check_vma=False))
+        return _LOOP_MESH_CACHE[key]
+
     def eligible(self):
         import os
         bp, p = self.bp, self.bp.params
         if os.environ.get("ABPOA_DEVICE_LOOP", "1") == "0":
             return False
-        if bp._effective_engine() != "pallas" or bp.mesh is not None:
+        if bp._effective_engine() != "pallas":
             return False
         if _interpret() and os.environ.get("ABPOA_DEVICE_LOOP") != "1":
             # interpret-mode compiles of the whole scanned loop take
@@ -1176,6 +1218,7 @@ class _DeviceLoop:
         return self.cfg is not None
 
     def run(self):
+        import os
         import time
         import jax
         import jax.numpy as jnp
@@ -1196,7 +1239,11 @@ class _DeviceLoop:
                 if len(reads) >= 2]
         if not live:
             return True
-        chunk = int(np.lcm(cfg0.G, cfg0.GT))
+        # each mesh device's shard must itself be a whole number of
+        # kernel groups, so the batch aligns to chunk * ndev
+        ndev = (int(np.prod(list(bp.mesh.shape.values())))
+                if bp.mesh is not None else 1)
+        chunk = int(np.lcm(cfg0.G, cfg0.GT)) * ndev
         # two sub-batches pipeline device execution against host replay:
         # XLA queues the second loop while the host replays the first
         if len(live) >= 2 * chunk:
@@ -1221,7 +1268,7 @@ class _DeviceLoop:
                 for r, q in enumerate(instances[k][1:]):
                     qc[r, b, 1:len(q) + 1] = q
                     ql[r, b] = len(q)
-            loop = pls.poa_device_loop_jit(cfg, interpret=interp)
+            loop = self._loop_callable(cfg, interp)
             stF, misc_d, s16_d = loop(
                 jax.tree.map(jnp.asarray, st), jnp.asarray(i2n),
                 jnp.asarray(n2i), jnp.asarray(remain), jnp.asarray(qc),
@@ -1231,6 +1278,11 @@ class _DeviceLoop:
             maxlen = int(ql.max()) if len(part) else 0
             cap = min(cfg.LS, (maxlen + max(96, maxlen // 4) + 63)
                       // 64 * 64)
+            # test hook: a forced tiny cap exercises the over-cap refetch
+            # branch on ordinary inputs (tests/test_device_loop_dispatch)
+            cap_env = os.environ.get("ABPOA_S16_CAP")
+            if cap_env:
+                cap = max(2, min(cap, int(cap_env)))
             pends.append((part, cfg, stF, misc_d, s16_d, cap))
 
         # dp_seconds denominator: the two sub-batches pipeline, so each

@@ -1,0 +1,121 @@
+"""The _DeviceLoop DISPATCHER itself (parallel/batch.py), heterogeneous.
+
+Round-4 verdict: the dispatcher's eligibility gate, sub-batch split, pad
+replicas, per-instance NR masking, over-cap steps16 refetch and sticky-
+failure oracle rebuild were exercised only at bench time with identical
+instances. Here `BatchPOA.run_consensus` runs the REAL device loop
+(ABPOA_DEVICE_LOOP=1, interpret kernels) over MIXED instances — different
+read counts and lengths, one instance engineered to exceed the graph
+capacity (fail -> oracle rebuild), plus a forced tiny steps16 fetch cap
+(every instance refetches) — and must byte-match the serial oracle.
+
+A mesh variant runs the SAME dispatcher shard_map'd over a 2-device
+virtual CPU mesh (round-4 verdict item: the device loop was
+mesh-ineligible; bench.py's mesh phase captures the real-TPU run).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import DATA
+
+from abpoa_tpu.params import Params
+
+
+def _reads(fn, n):
+    from abpoa_tpu.seqio import read_seqs
+    from abpoa_tpu.alphabet import encode_table
+    tab = encode_table(5)
+    recs = read_seqs(str(DATA / fn))
+    return [tab[np.frombuffer(r.seq.encode(), dtype=np.uint8)]
+            for r in recs][:n]
+
+
+def _mixed_instances():
+    """Heterogeneous batch: varying read counts/lengths + one instance
+    whose unrelated reads overflow the node capacity (R is sized from
+    maxlen; three unrelated 150 bp reads need ~450 nodes > R)."""
+    rng = np.random.default_rng(20260820)
+    seq = _reads("seq.fa", 9)
+    unrelated = [rng.integers(0, 4, 150).astype(np.uint8)
+                 for _ in range(3)]
+    return [seq, seq[:5], seq[2:8], [seq[0][:30], seq[1][:25]],
+            unrelated, seq[:3]]
+
+
+def _serial_oracle(instances, params):
+    from abpoa_tpu.api import ABPOA
+    from abpoa_tpu.consensus import generate_consensus
+    from abpoa_tpu.alphabet import decode_table
+    dt = decode_table(params.m)
+    out = []
+    for reads in instances:
+        ab = ABPOA()
+        ab.n_seq = len(reads)
+        ab.names = [""] * len(reads)
+        ab.is_rc = [0] * len(reads)
+        ab.poa(params, reads, [[1] * len(q) for q in reads], 0)
+        generate_consensus(ab, params)
+        out.append([bytes(dt[b] for b in s).decode()
+                    for s in ab.cons.cons_base[:ab.cons.n_cons]])
+    return out
+
+
+def _run_device_loop(instances, params, mesh=None, env=()):
+    from abpoa_tpu.parallel import BatchPOA
+    saved = {}
+    puts = {"ABPOA_DEVICE_LOOP": "1", "ABPOA_PALLAS_INTERPRET": "1",
+            "ABPOA_LOOP_G": "2"}   # small packing: interpret traces
+    #                                unroll the kernels per g
+    puts.update(dict(env))
+    for k, v in puts.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        bp = BatchPOA(params, mesh=mesh)
+        cons = bp.run_consensus(instances)
+        return bp, cons
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_dispatcher_heterogeneous_fallback_refetch():
+    params = Params().post_set()
+    instances = _mixed_instances()
+    exp = _serial_oracle(instances, params)
+    bp, cons = _run_device_loop(instances, params)
+    assert bp.used_device_loop, "dispatcher did not take the device loop"
+    assert bp.fallbacks >= 1, "capacity instance should have fallen back"
+    assert cons == exp
+    # over-cap refetch: same instances/config (one compile, cached),
+    # forced cap=2 — every step stream exceeds the fetched slice and
+    # must be re-fetched from the device buffer; bytes identical
+    bp2, cons2 = _run_device_loop(instances, params,
+                                  env=(("ABPOA_S16_CAP", "2"),))
+    assert bp2.used_device_loop
+    assert cons2 == exp
+
+
+@pytest.mark.skipif(not os.environ.get("ABPOA_SLOW_TESTS"),
+                    reason="slow interpret-mode mesh compile; the mesh "
+                    "device loop also runs in dryrun_multichip")
+def test_dispatcher_mesh_device_loop():
+    """The device loop shard_map'd over a 2-device virtual CPU mesh:
+    same heterogeneous batch, same bytes (round-4 verdict item 3)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual CPU mesh)")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    params = Params().post_set()
+    seq = _reads("seq.fa", 9)
+    instances = [seq[:4], seq[:3], seq[2:6], seq[:5]]
+    exp = _serial_oracle(instances, params)
+    bp, cons = _run_device_loop(instances, params, mesh=mesh)
+    assert bp.used_device_loop, "mesh run skipped the device loop"
+    assert cons == exp
