@@ -49,9 +49,12 @@ NEG = -(1 << 29)
 (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1, S_OE1, S_E2, S_O2,
  S_OE2, S_ZDROP, S_DPSN, S_NSCAL) = range(14)
 
-# misc output layout
+# misc output layout (M_LASTI: topo row of the LAST pushed step — the
+# nid-mode walker emits a delta step stream, and the graph kernel's
+# forward replay reconstructs rows from this anchor; other kernels leave
+# the slot unwritten)
 (M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NSTEPS, M_FAIL, M_ENDI, M_ENDJ,
- M_NMISC) = range(10)
+ M_LASTI, M_NMISC) = range(11)
 
 # backtrack operator bitmask (ref abpoa_align.h:20-27)
 BT_M, BT_E1, BT_E2, BT_F1, BT_F2 = 0x1, 0x2, 0x4, 0x8, 0x10

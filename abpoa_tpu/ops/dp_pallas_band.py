@@ -53,7 +53,7 @@ from ..params import (GLOBAL_MODE, EXTEND_MODE, LINEAR_GAP, CONVEX_GAP,
 from .dp_pallas import (S_QLEN, S_NROWS, S_W, S_INF, S_REMEND, S_E1, S_O1,
                         S_OE1, S_E2, S_O2, S_OE2, S_ZDROP, S_DPSN, S_NSCAL,
                         M_BEST, M_BI, M_BJ, M_CELLS, M_OVFL, M_NSTEPS,
-                        M_FAIL, M_ENDI, M_ENDJ, M_NMISC,
+                        M_FAIL, M_ENDI, M_ENDJ, M_LASTI, M_NMISC,
                         BT_M, BT_E1, BT_E2, BT_F1, BT_F2, BT_E, BT_F,
                         BT_ALL)
 
@@ -98,6 +98,9 @@ class BandConfig(NamedTuple):
                           # state (base|n_out<<3|n_al<<7|n_in<<10|rem<<16)
                           # — no topo-space re-export between rounds.
                           # Requires fresh + global mode.
+    dv: int = 0           # sweep scalar variant: 1 gates the per-row
+                          # band-pull loop's predecessor tail behind
+                          # npre>1 (chain rows skip P-1 iterations)
 
 
 def _log2(x: int) -> int:
@@ -148,20 +151,47 @@ def make_band_kernel(cfg: BandConfig):
 
     def kernel(*refs):
         # nid mode: control words are the graph kernel's packed state
-        # (indexed by node id), the sweep order arrives as i2n, and the
-        # walker converts plane rows back to topo indices through n2i so
-        # the emitted step stream keeps the host-replay format.
+        # (indexed by node id), the sweep order arrives as the packed
+        # i2n|n2i<<16 map, and the walker emits the DELTA step stream
+        # (steps16 halves, 2/word) directly — no topo-space plane export
+        # and no post-kernel compression. Band bounds (bsn) live in SMEM
+        # scratch (never exported); cells accumulate in-kernel.
         if NID:
-            (scal, i2n, n2i, ctrl, preP, qpf,
-             bsn_o, misc_o, steps_o,
+            (scal, i2nn_h, ctrl_h, preP_h, qpf,
+             misc_o, s16_o,
              Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
-             acc, rms, stv, bts) = refs
-            mplr0 = mplr_o = None
+             acc, bsn_s, i2nn, ctrl, preP, rms, stv, bts, dsem) = refs
+            mplr0 = mplr_o = steps_o = None
+            # control streams stay HBM-resident (pl.ANY) and DMA into
+            # SMEM scratch per program: single-residency SMEM (no
+            # input-block double buffering) is what admits G=16
+            bq = pl.program_id(0)
+            dmas = [pltpu.make_async_copy(src.at[bq], dst.at[0],
+                                          dsem.at[di])
+                    for di, (src, dst) in enumerate(
+                        ((i2nn_h, i2nn), (ctrl_h, ctrl),
+                         (preP_h, preP)))]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+            def bsn_get(g, x):
+                return bsn_s[g, x]
+
+            def bsn_set(g, x, v):
+                bsn_s[g, x] = v
         else:
             (scal, ctrl, preP, mplr0, qpf,
              bsn_o, mplr_o, misc_o, steps_o,
              Hb, E1b, E2b, BTb, colv, qres, hacc, e1acc, e2acc, btp,
              acc, rms, stv, bts) = refs
+
+            def bsn_get(g, x):
+                return bsn_o[0, g, x]
+
+            def bsn_set(g, x, v):
+                bsn_o[0, g, x] = v
         l = iota()
 
         def sc(g, k):
@@ -228,7 +258,7 @@ def make_band_kernel(cfg: BandConfig):
             end0 = jnp.minimum(qlens[g],
                                jnp.maximum(0, qlens[g] - rem0) + ws[g])
             end_sn0 = end0 // pn
-            bsn_o[0, g, 0] = end_sn0 << 16
+            bsn_set(g, 0, end_sn0 << 16)
             colv[g:g + 1, 3:4] = end_sn0.reshape(1, 1)
             cap0 = jnp.minimum(end_sn0 + 1, dp_sns[g] - 1)
             ovfl0.append(cap0 + 2 > NSEG)
@@ -276,7 +306,8 @@ def make_band_kernel(cfg: BandConfig):
                 # v1 path's XLA-glue clipping, done in-kernel (reads and
                 # writes must stay inside the R-word SMEM blocks).
                 rids = [jnp.where(t <= n_rowss[g] - 2,
-                                  jnp.clip(i2n[0, g, t], 0, R - 1),
+                                  jnp.clip(i2nn[0, g, t] & 0xFFFF,
+                                           0, R - 1),
                                   jnp.int32(SINK_ROW)) for g in range(G)]
                 cws = [ctrl[0, g, rids[g]] for g in range(G)]
                 npres = [(cws[g] >> 10) & 15 for g in range(G)]
@@ -306,22 +337,48 @@ def make_band_kernel(cfg: BandConfig):
                     iw = n_rowss[g]
                 else:
                     iw = mplr0[0, g, t]
-                mpl = jnp.int32(1 << 29)
-                mpr = jnp.int32(-(1 << 29))
-                has_src = jnp.bool_(False)
-                min_pb = jnp.int32(1 << 30)
-                for p in range(cfg.P):
+                def pull_p(p, mpl, mpr, has_src, min_pb):
                     pv = p < npres[g]
                     pred = pre_at(g, rids[g], p)
                     min_pb = jnp.minimum(
-                        min_pb, jnp.where(pv, bsn_o[0, g, pred] & H16,
+                        min_pb, jnp.where(pv, bsn_get(g, pred) & H16,
                                           1 << 30))
                     w = rms[g, pred]
                     ok = pv & (w >= RM_OK)
                     v = w & (RM_OK - 1)
                     mpl = jnp.minimum(mpl, jnp.where(ok, v, 1 << 29))
-                    mpr = jnp.maximum(mpr, jnp.where(ok, v, -(1 << 29)))
+                    mpr = jnp.maximum(mpr, jnp.where(ok, v,
+                                                     -(1 << 29)))
                     has_src = has_src | (pv & (pred == 0))
+                    return mpl, mpr, has_src, min_pb
+
+                acc0 = (jnp.int32(1 << 29), jnp.int32(-(1 << 29)),
+                        jnp.bool_(False), jnp.int32(1 << 30))
+                if cfg.dv == 1:
+                    # chain rows (npre == 1, the vast majority) skip the
+                    # P-1 tail of the pull loop; the multi-pred
+                    # accumulation lands in bts (free until the walk)
+                    accp = pull_p(0, *acc0)
+
+                    @pl.when(npres[g] > 1)
+                    def _(g=g, accp=accp):
+                        a = accp
+                        for p in range(1, cfg.P):
+                            a = pull_p(p, *a)
+                        bts[g, 0] = a[0]
+                        bts[g, 1] = a[1]
+                        bts[g, 2] = a[2].astype(jnp.int32)
+                        bts[g, 3] = a[3]
+                    multi = npres[g] > 1
+                    mpl = jnp.where(multi, bts[g, 0], accp[0])
+                    mpr = jnp.where(multi, bts[g, 1], accp[1])
+                    has_src = jnp.where(multi, bts[g, 2] > 0, accp[2])
+                    min_pb = jnp.where(multi, bts[g, 3], accp[3])
+                else:
+                    a = acc0
+                    for p in range(cfg.P):
+                        a = pull_p(p, *a)
+                    mpl, mpr, has_src, min_pb = a
                 mpl = jnp.minimum(mpl, jnp.where(has_src, 1 << 29,
                                                  iw & H16))
                 mpr = jnp.maximum(mpr, jnp.where(has_src, -(1 << 29),
@@ -339,7 +396,12 @@ def make_band_kernel(cfg: BandConfig):
                 beg_sns.append(beg_sn)
                 end_sns.append(end_sn)
 
-                bsn_o[0, g, rids[g]] = beg_sn | (end_sn << 16)
+                bsn_set(g, rids[g], beg_sn | (end_sn << 16))
+                if NID:
+                    # cells accumulate in-kernel (bsn is scratch-only in
+                    # nid mode; same sum as band_cells over live rows)
+                    stv[g, ST_CELLS] = stv[g, ST_CELLS] + jnp.where(
+                        actives[g], (end_sn - beg_sn + 1) * pn, 0)
                 # band + guard + one spare zero segment must fit the tile
                 capg = jnp.minimum(end_sn + 1, dp_sns[g] - 1)
                 stv[g, ST_OVFL] = (ovfls[g]
@@ -403,7 +465,7 @@ def make_band_kernel(cfg: BandConfig):
                 for g in range(G):
                     pred = pre_at(g, rids[g], p)
                     pv = p < npres[g]
-                    pw = bsn_o[0, g, pred]
+                    pw = bsn_get(g, pred)
                     # one packed store: pbeg|pend<<10|pv<<20 (sentinels
                     # applied in vector form after the unpack)
                     colv[g:g + 1, 6:7] = ((pw & H16) | ((pw >> 16) << 10)
@@ -798,7 +860,7 @@ def make_band_kernel(cfg: BandConfig):
                 for p in range(cfg.P):
                     pv = p < npre_sink
                     pred = pre_at(g, sink, p)
-                    pw = bsn_o[0, g, pred]
+                    pw = bsn_get(g, pred)
                     ec = jnp.minimum(qlens[g], ((pw >> 16) + 1) * pn - 1)
                     lo_p = (pw & H16) * pn
                     lane = ec - (ec // WB) * WB
@@ -812,7 +874,8 @@ def make_band_kernel(cfg: BandConfig):
             misc_o[0, g, M_BEST] = bss[g]
             # nid mode: bis is a node id; the misc/step contract stays in
             # topo space for the host steps16 decode (bt_xla)
-            misc_o[0, g, M_BI] = n2i[0, g, bis[g]] if NID else bis[g]
+            misc_o[0, g, M_BI] = (i2nn[0, g, bis[g]] >> 16) if NID \
+                else bis[g]
             misc_o[0, g, M_BJ] = bjs[g]
             misc_o[0, g, M_CELLS] = cells[g]
             misc_o[0, g, M_OVFL] = ovfls[g].astype(jnp.int32)
@@ -830,7 +893,8 @@ def make_band_kernel(cfg: BandConfig):
             # loop runs until every instance is done — amortizing the
             # per-iteration loop overhead G ways vs G serial loops
             (BS_I, BS_J, BS_LANE, BS_CUR, BS_IF, BS_NST, BS_FAIL,
-             BS_DONE, BS_SB, BS_SI, BS_SL) = range(11)
+             BS_DONE, BS_SB, BS_SI, BS_SL, BS_PI, BS_PJ,
+             BS_HALF) = range(14)
             for g in range(G):
                 lane0 = bjs[g] - (bjs[g] // WB) * WB
                 done0 = (bis[g] <= 0) | (bjs[g] <= 0) | ovfls[g]
@@ -845,12 +909,18 @@ def make_band_kernel(cfg: BandConfig):
                 bts[g, BS_SB] = 0
                 bts[g, BS_SI] = -1
                 bts[g, BS_SL] = -1
+                if NID:
+                    # delta-stream anchors: previous emitted (topo row,
+                    # col), seeded from the walk start = (M_BI, M_BJ)
+                    bts[g, BS_PI] = i2nn[0, g, bis[g]] >> 16
+                    bts[g, BS_PJ] = bjs[g]
+                    bts[g, BS_HALF] = 0
 
             def fetch_bits(g, i, j, lane):
                 # one BTb lane: dynamic-row vector load + lane reduce,
                 # masked to the row's band window (outside -> no moves
                 # possible, matching the oracle's unreachable cells)
-                w = bsn_o[0, g, i]
+                w = bsn_get(g, i)
                 lo_i = (w & H16) * pn
                 rowv = BTb[g, pl.ds(i, 1), :]
                 b = jnp.sum(jnp.where(iq == lane, rowv, 0))
@@ -977,11 +1047,30 @@ def make_band_kernel(cfg: BandConfig):
 
                 @pl.when(any_hit)
                 def _():
-                    # nid mode: plane rows are node ids; the step stream
-                    # stays in topo space (host replay + steps16 deltas
-                    # rely on topo-monotone rows)
-                    ti = n2i[0, g, i] if NID else i
-                    steps_o[0, g, nst] = op_code | (ti << 2) | (j << 14)
+                    if NID:
+                        # emit the steps16 DELTA stream directly, packed
+                        # 2 halves/word (the wire format): op | dj<<2 |
+                        # di<<3 in topo space — rows map through the
+                        # packed i2nn word, deltas come off the
+                        # previous-emission anchors, and the even half
+                        # buffers in BS_HALF until its odd partner lands
+                        ti = i2nn[0, g, i] >> 16
+                        h = (op_code | ((bts[g, BS_PJ] - j) << 2)
+                             | ((bts[g, BS_PI] - ti) << 3)) & 0xFFFF
+
+                        @pl.when((nst & 1) == 0)
+                        def _(h=h):
+                            bts[g, BS_HALF] = h
+
+                        @pl.when((nst & 1) == 1)
+                        def _(h=h):
+                            s16_o[0, g, nst >> 1] = bts[g, BS_HALF] \
+                                | (h << 16)
+                        bts[g, BS_PI] = ti
+                        bts[g, BS_PJ] = j
+                    else:
+                        steps_o[0, g, nst] = op_code | (i << 2) \
+                            | (j << 14)
                 nst = jnp.where(any_hit, nst + 1, nst)
                 new_i = jnp.where(use_m, m_pred,
                                   jnp.where(use_e, e_pred_sel, i))
@@ -1020,9 +1109,19 @@ def make_band_kernel(cfg: BandConfig):
             for g in range(G):
                 misc_o[0, g, M_NSTEPS] = bts[g, BS_NST]
                 misc_o[0, g, M_FAIL] = bts[g, BS_FAIL]
-                misc_o[0, g, M_ENDI] = (n2i[0, g, bts[g, BS_I]] if NID
+                misc_o[0, g, M_ENDI] = ((i2nn[0, g, bts[g, BS_I]]
+                                         >> 16) if NID
                                         else bts[g, BS_I])
                 misc_o[0, g, M_ENDJ] = bts[g, BS_J]
+                if NID:
+                    # flush the buffered even half; anchor the graph
+                    # kernel's forward row reconstruction on the last
+                    # pushed step's topo row
+                    @pl.when((bts[g, BS_NST] & 1) == 1)
+                    def _(g=g):
+                        s16_o[0, g, bts[g, BS_NST] >> 1] = \
+                            bts[g, BS_HALF] & 0xFFFF
+                    misc_o[0, g, M_LASTI] = bts[g, BS_PI]
         else:
             for g in range(G):
                 misc_o[0, g, M_NSTEPS] = 0
@@ -1219,31 +1318,41 @@ def build_qpf(cfg: BandConfig, mat, qcodes):
     return qpf.reshape(*lead, cfg.m * (KW + 1), cfg.WB)
 
 
-def band_cells_nid(cfg: BandConfig, scal, bsn):
-    """band_cells for node-id plane space: live rows are the dense node
-    ids [2, node_n) (SRC=0 and SINK=1 excluded) — the same node set as
-    topo rows [1, n_rows-2], so the counts are identical."""
-    tix = jnp.arange(cfg.R, dtype=jnp.int32)[None, :]
-    live = (tix >= 2) & (tix < scal[:, S_NROWS, None])
-    return jnp.sum(
-        jnp.where(live, ((bsn >> 16) - (bsn & H16) + 1) * cfg.pn, 0),
-        axis=1)
+def pick_band_G_packed(gap_mode: int, R: int, WB: int, P: int, m: int,
+                       bt_lmax: int) -> int:
+    """pick_band_G for the packed nid entry: the control streams are
+    HBM-resident (DMA'd into single-residency SMEM scratch), bsn is
+    scratch-only, the step stream ships as halved steps16 words and misc
+    is tiny — so G=16 fits shapes the topo-space entry caps at 8."""
+    np_ = band_nplanes(gap_mode)
+    for g in (16, 8, 4, 2, 1):
+        vmem = (np_ * g * R * WB + (4 * P + 9 + 2 * m + 6) * g * WB) * 4
+        smem = 4 * g * (2 * (S_NSCAL + 8)
+                        + 2 * (bt_lmax // 2 + M_NMISC)
+                        + (2 + P // 2) * R     # i2nn+ctrl+preP scratch
+                        + 2 * R + 8 + 16)      # bsn + rms + stv + bts
+        if vmem <= 100 * 1024 * 1024 and smem <= 920 * 1024:
+            return g
+    return 0
 
 
-@partial(jax.jit, static_argnums=(0, 7))
-def band_poa_dp_packed(cfg: BandConfig, scal, ctrl, inp, i2n, n2i, qpf,
+@partial(jax.jit, static_argnums=(0, 6))
+def band_poa_dp_packed(cfg: BandConfig, scal, ctrl, inp, i2nn, qpf,
                        interpret=False):
     """Batched DP+backtrack over the graph kernel's PACKED state — the
     device loop's zero-glue entry. Planes live in node-id space: ctrl is
     the graph ctrl word (base|n_out<<3|n_al<<7|n_in<<10|remain<<16), inp
     the packed predecessor halves (node ids), and the sweep order comes
-    from i2n; no topo-space plane re-export (gathers) happens between
-    rounds. Requires cfg.nid and cfg.fresh, global mode. Returns BandOut
-    with mpl/mpr zeros (the loop path never reads them)."""
+    from the packed i2n|n2i<<16 map; no topo-space plane re-export
+    (gathers) happens between rounds. The walker emits the steps16 delta
+    stream directly (2 halves/word) and cells accumulate in-kernel, so
+    nothing but (misc, s16 words) leaves the kernel. Requires cfg.nid
+    and cfg.fresh, global mode. Returns (misc [B, M_NMISC],
+    s16w [B, bt_lmax//2] int32)."""
     assert cfg.nid and cfg.fresh and cfg.align_mode == GLOBAL_MODE
     B = ctrl.shape[0]
     G = cfg.G
-    assert B % G == 0
+    assert B % G == 0 and cfg.bt_lmax % 2 == 0
     NP_ = B // G
     R, WB = cfg.R, cfg.WB
     KW = cfg.Wq // WB
@@ -1266,13 +1375,13 @@ def band_poa_dp_packed(cfg: BandConfig, scal, ctrl, inp, i2n, n2i, qpf,
 
     LS = max(cfg.bt_lmax, 8)
     out_shapes = (
-        jax.ShapeDtypeStruct((NP_, G, R), i32),       # beg_sn|end_sn<<16
         jax.ShapeDtypeStruct((NP_, G, M_NMISC), i32),
-        jax.ShapeDtypeStruct((NP_, G, LS), i32),      # steps
+        jax.ShapeDtypeStruct((NP_, G, LS // 2), i32),  # steps16 halves
     )
-    out_specs = (smem(R), smem(M_NMISC), smem(LS))
-    in_specs = [smem(S_NSCAL), smem(R), smem(R), smem(R),
-                smem(R * cfg.P // 2), vmem(cfg.m * (KW + 1), WB)]
+    out_specs = (smem(M_NMISC), smem(LS // 2))
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [smem(S_NSCAL), anyspec, anyspec,
+                anyspec, vmem(cfg.m * (KW + 1), WB)]
     full = pltpu.VMEM((G, R, WB), i32)
     dummy = pltpu.VMEM((G, 1, 128), i32)
     gm_ = cfg.gap_mode
@@ -1296,20 +1405,19 @@ def band_poa_dp_packed(cfg: BandConfig, scal, ctrl, inp, i2n, n2i, qpf,
             pltpu.VMEM((G, WB), i32),    # e2acc
             pltpu.VMEM((4 * cfg.P, G, WB), i32),  # per-pred bt comparands
             pltpu.VMEM((9, G, WB), i32),  # bt pick accumulators
+            pltpu.SMEM((G, R), i32),     # bsn (band bounds, scratch)
+            pltpu.SMEM((1, G, R), i32),  # i2nn (DMA'd from ANY)
+            pltpu.SMEM((1, G, R), i32),  # ctrl (DMA'd from ANY)
+            pltpu.SMEM((1, G, R * cfg.P // 2), i32),  # preP (DMA'd)
             pltpu.SMEM((G, R), i32),     # rms
             pltpu.SMEM((G, 8), i32),     # sweep state
-            pltpu.SMEM((G, 12), i32),    # walker state
+            pltpu.SMEM((G, 16), i32),    # walker state
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(grp(scal[:, :S_NSCAL]), grp(i2n), grp(n2i), grp(ctrl),
+    )(grp(scal[:, :S_NSCAL]), grp(i2nn), grp(ctrl),
       grp(inp), grp(qpf, cfg.m * (KW + 1), WB))
-    (bsn, misc, steps) = outs
-    bsn = bsn.reshape(B, R)
-    misc = misc.reshape(B, M_NMISC)
-    misc = misc.at[:, M_CELLS].set(band_cells_nid(cfg, scal, bsn))
-    st = steps.reshape(B, LS)
-    s16 = steps16_compress(st, misc)
-    z = jnp.zeros((B, 1), i32)
-    return BandOut(bsn & H16, bsn >> 16, z, z, misc, st, s16)
+    (misc, s16w) = outs
+    return misc.reshape(B, M_NMISC), s16w.reshape(B, LS // 2)

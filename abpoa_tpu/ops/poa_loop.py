@@ -74,6 +74,18 @@ class LoopConfig(NamedTuple):
     #                  bits in the graph kernel (unit weights: max edge
     #                  weight = reads per instance; dispatcher sizes it)
     gk: str = "smem"  # graph-kernel state residency (see GK_IMPL)
+    abl: str = ""     # comma phase-ablation list (probes only; see
+    #                   _ablated) — in the static config so jit caches
+    #                   key it
+    dv: int = 0       # DP sweep scalar variant (BandConfig.dv)
+    gv: int = 0       # graph-kernel scalar search variant (on-chip A/B,
+    #                   round 5): 0 = semantic gates (skip aligned
+    #                   search on base match, skip edge search on new
+    #                   from-node) + branchless inner where-chains —
+    #                   the chains pipeline their SMEM loads; 1 = fully
+    #                   pl.when-guarded inner loops (parity with 0);
+    #                   2 = slot-0 probe + guarded fallback (~0.2 s
+    #                   WORSE at B=64: scalar branches serialize loads)
 
 
 class GState(NamedTuple):
@@ -552,7 +564,8 @@ def _band_cfg(cfg: LoopConfig, nid: bool):
     return BandConfig(gap_mode=cfg.gap_mode, align_mode=GLOBAL_MODE,
                       pn=cfg.pn, R=cfg.R, WB=cfg.WB, Wq=cfg.Wq, P=cfg.P,
                       O=2, m=5, use_zdrop=cfg.use_zdrop, bt_lmax=cfg.LS,
-                      G=cfg.G, fresh=True, nid=nid)
+                      G=cfg.G, fresh=True, nid=nid,
+                      dv=getattr(cfg, "dv", 0))
 
 
 def build_scal(cfg: LoopConfig, ps: PackedState, qlen, scal_base, wb,
@@ -573,7 +586,8 @@ def build_scal(cfg: LoopConfig, ps: PackedState, qlen, scal_base, wb,
     scal = scal.at[:, dpp.S_DPSN].set(qlen // cfg.pn + 1)
     # remain of the last topo node (== SINK == -1 for whole-graph
     # alignments; kept exact for future subgraph-rooted rounds)
-    lastn = _take1(ps.i2n, jnp.maximum(ps.node_n - 1, 0)[:, None])
+    lastn = _take1(ps.i2nn & 0xFFFF,
+                   jnp.maximum(ps.node_n - 1, 0)[:, None])
     scal = scal.at[:, dpp.S_REMEND].set(
         _take1(ps.ctrl >> 16, lastn)[:, 0])
     return scal
@@ -582,19 +596,25 @@ def build_scal(cfg: LoopConfig, ps: PackedState, qlen, scal_base, wb,
 def device_round_packed(cfg: LoopConfig, ps: PackedState, qlen, qpf, qp4,
                         scal_base, wb, wf1000, interpret=False):
     """One POA round entirely on device, zero-glue form: the nid-mode DP
-    kernel reads the packed graph state directly (node-id planes) and
-    the merged graph kernel updates it in place — the only XLA between
-    them is the scal build and the step stream repack."""
+    kernel reads the packed graph state directly (node-id planes), emits
+    the wire-format steps16 halves, and the merged graph kernel consumes
+    them in place — the only XLA between them is the scal build."""
+    import jax
     from .dp_pallas_band import band_poa_dp_packed
     scal = build_scal(cfg, ps, qlen, scal_base, wb, wf1000)
     bc = _band_cfg(cfg, nid=True)
-    out = band_poa_dp_packed(bc, scal, ps.ctrl, ps.inp, ps.i2n, ps.n2i,
-                             qpf, interpret=interpret)
-    if "graph" in GK_ABLATE:     # attribution probe: DP-only timing
-        return ps, out.misc, out.steps16
-    ps2 = graph_update_packed(cfg, ps, out.steps, out.misc, qlen, qp4,
+    misc, s16w = band_poa_dp_packed(bc, scal, ps.ctrl, ps.inp, ps.i2nn,
+                                    qpf, interpret=interpret)
+    # keep the scan's ys update-slice OUT of the pallas fusion: XLA
+    # otherwise fuses the DUS into the custom call and re-scopes its
+    # VMEM budget to the 16 MB default, which the plane scratch blows
+    # ("should not be possible to run out of scoped vmem" at compile)
+    misc, s16w = jax.lax.optimization_barrier((misc, s16w))
+    if _ablated(cfg, "graph"):   # attribution probe: DP-only timing
+        return ps, misc, s16w
+    ps2 = graph_update_packed(cfg, ps, s16w, misc, qlen, qp4,
                               interpret=interpret)
-    return ps2, out.misc, out.steps16
+    return ps2, misc, s16w
 
 
 def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
@@ -611,11 +631,11 @@ def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
         ps = pack_state(cfg, st, i2n, n2i, remain)
         qpf = build_qpf(bc, scal_base[dpp.S_NSCAL:], qcodes)
         qp4 = pack_qp4(cfg, qcodes)
-        ps2, misc, s16 = device_round_packed(
+        ps2, misc, s16w = device_round_packed(
             cfg, ps, qlen, qpf, qp4, scal_base, wb, wf1000,
             interpret=interpret)
         st2, i2n2, n2i2, remain2 = unpack_state(cfg, ps2)
-        return st2, i2n2, n2i2, remain2, misc, s16
+        return st2, i2n2, n2i2, remain2, misc, s16w_to_s16(s16w)
     B = cfg.B
     i8 = jnp.int8
     i16 = jnp.int16
@@ -781,12 +801,15 @@ def make_scal_base(params, cfg: LoopConfig):
 
 GK_IMPL = "smem"
 
-# phase-ablation switch for performance attribution (bench/debug only,
-# read at TRACE time — set before the first dispatch of a config, use a
-# fresh process per setting): "graph" skips the whole graph kernel in
+# phase ablation for performance attribution (bench/probes only): set
+# via LoopConfig.abl (the ABPOA_GK_ABLATE env through the dispatcher) so
+# the jit caches key it — "graph" skips the whole graph kernel in
 # device_round_packed; "fuse"/"topo"/"remain" skip that pass inside the
 # kernel (outputs are then wrong; timings isolate the remaining phases).
-GK_ABLATE: frozenset = frozenset()
+
+
+def _ablated(cfg, phase: str) -> bool:
+    return phase in getattr(cfg, "abl", "").split(",")
 
 
 def make_graph_kernel2(cfg: LoopConfig, impl: str):
@@ -805,11 +828,12 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
     # out halves: id(IDB) | weight(WB_)<<IDB — R <= 2^IDB and per-edge
     # weight < 2^WB_ are eligibility guards in the dispatcher
     (FS_T, FS_LAST, FS_LNEW, FS_NN, FS_FAIL, FS_LIVE, FS_DONE,
-     FS_QID) = range(8)
+     FS_QID, FS_TMP, FS_ROW) = range(10)
     (SV_HEAD, SV_TAIL, SV_IDX, SV_DONE) = range(4)
+    GV = cfg.gv
 
     def body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
-             i2n_o, n2i_o, stat_o, indeg, q, fsv, stv):
+             i2nn_o, stat_o, indeg, q, fsv, stv):
         # in-degree scratch seeds from the PRE-fusion counts; fusion's
         # in-append sites bump it incrementally
         def seed(t, c):
@@ -854,10 +878,19 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             in_lead = t < ej
             in_tail = t >= ej + nst
             k = jnp.clip(nst - 1 - (t - ej), 0, LS - 1)
-            # steps packed 2/word: op(2) | row(12) << 2 per 16-bit half
+            # the stream is the WIRE-format steps16 halves, 2/word:
+            # op(2) | dj(1)<<2 | di(13)<<3. The replay runs k DESCENDING
+            # (forward query order), so the row reconstructs from the
+            # last-pushed anchor (msc lasti) by ADDING di per consumed
+            # entry: row(k-1) = row(k) + di(k).
             enc = (steps[0, g, k >> 1] >> (16 * (k & 1))) & 0xFFFF
             op = jnp.where(in_lead | in_tail, 1, enc & 3)
             fsv[g, FS_T] = t + 1
+            row = fsv[g, FS_ROW]
+
+            @pl.when(jnp.logical_not(in_lead | in_tail))
+            def _():
+                fsv[g, FS_ROW] = row + (enc >> 3)
 
             @pl.when(op != 2)          # DEL consumes nothing
             def _():
@@ -868,17 +901,41 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                 qb = (qp4[0, g, (qid + 1) >> 2]
                       >> (8 * ((qid + 1) & 3))) & 0xFF
                 is_m = op == 0
-                row = enc >> 2
-                nid = i2n_in[0, g, row]
+                nid = jnp.minimum(
+                    i2n_in[0, g, jnp.clip(row, 0, R - 1)] & 0xFFFF,
+                    R - 1)
                 cw = ctrl[0, g, nid]
                 gb = cw & 7
                 na = (cw >> 7) & 7
                 m_match = is_m & (gb == qb)
-                aid = jnp.int32(-1)
-                for a in range(A):
-                    av = al_at(g, nid, a)
-                    hit = (a < na) & ((ctrl[0, g, av] & 7) == qb)
-                    aid = jnp.where((aid < 0) & hit, av, aid)
+                # aligned-node search ONLY on a mismatch with a nonempty
+                # list (ref searches on mismatch only): ~90% of steps are
+                # base matches and skip the whole block — the branch
+                # costs ~2 scalar ops vs A SMEM reads + compare chains
+                fsv[g, FS_TMP] = -1
+
+                @pl.when(is_m & jnp.logical_not(m_match) & (na > 0))
+                def _():
+                    if GV == 1:
+                        for a in range(A):
+                            @pl.when(a < na)
+                            def _(a=a):
+                                av = al_at(g, nid, a)
+
+                                @pl.when((fsv[g, FS_TMP] < 0)
+                                         & ((ctrl[0, g, av] & 7) == qb))
+                                def _(av=av):
+                                    fsv[g, FS_TMP] = av
+                    else:
+                        # branchless chain: the A loads issue
+                        # back-to-back and pipeline
+                        aid_ = jnp.int32(-1)
+                        for a in range(A):
+                            av = al_at(g, nid, a)
+                            hit = (a < na) & ((ctrl[0, g, av] & 7) == qb)
+                            aid_ = jnp.where((aid_ < 0) & hit, av, aid_)
+                        fsv[g, FS_TMP] = aid_
+                aid = fsv[g, FS_TMP]
                 m_aid = is_m & jnp.logical_not(m_match) & (aid >= 0)
                 is_new = jnp.logical_not(m_match | m_aid)
                 nn_cur = fsv[g, FS_NN]
@@ -887,6 +944,11 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                 fail_cap = is_new & (nn_cur >= R)
                 fsv[g, FS_FAIL] = fsv[g, FS_FAIL] \
                     | fail_cap.astype(jnp.int32)
+                # memory safety on the sticky-fail path: the edge block
+                # below still reads/writes at `to`; dump it onto the last
+                # in-bounds row of this instance's own block (the
+                # instance is dead, the host rebuilds it on the oracle)
+                to = jnp.where(fail_cap, jnp.int32(R - 1), to)
 
                 @pl.when(is_new & jnp.logical_not(fail_cap))
                 def _():
@@ -912,16 +974,45 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                             al_append(g, nid, to)
                             al_append(g, to, nid)
 
-                # edge last -> to, unit weight
+                # edge last -> to, unit weight; skipped when the
+                # from-node is new (no edges can exist yet)
                 last = fsv[g, FS_LAST]
                 lnew = fsv[g, FS_LNEW] > 0
                 lcw = ctrl[0, g, last]
                 no = (lcw >> 3) & 15
-                slot = jnp.int32(-1)
-                for e in range(E):
-                    sm = (e < no) & (out_at(g, last, e) == to) \
-                        & jnp.logical_not(lnew)
-                    slot = jnp.where((slot < 0) & sm, e, slot)
+                fsv[g, FS_TMP] = -1
+
+                @pl.when(jnp.logical_not(lnew))
+                def _():
+                    if GV == 1:
+                        for e in range(E):
+                            @pl.when(e < no)
+                            def _(e=e):
+                                @pl.when((fsv[g, FS_TMP] < 0)
+                                         & (out_at(g, last, e) == to))
+                                def _():
+                                    fsv[g, FS_TMP] = e
+                    elif GV == 2:
+                        # slot-0 probe: backbone edges were appended
+                        # first, so a re-traversal hits slot 0 almost
+                        # always — one load + one branch on that path
+                        hit0 = (no > 0) & (out_at(g, last, 0) == to)
+                        fsv[g, FS_TMP] = jnp.where(hit0, 0, -1)
+
+                        @pl.when(jnp.logical_not(hit0) & (no > 1))
+                        def _():
+                            s_ = jnp.int32(-1)
+                            for e in range(1, E):
+                                sm = (e < no) & (out_at(g, last, e) == to)
+                                s_ = jnp.where((s_ < 0) & sm, e, s_)
+                            fsv[g, FS_TMP] = s_
+                    else:
+                        s_ = jnp.int32(-1)
+                        for e in range(E):
+                            sm = (e < no) & (out_at(g, last, e) == to)
+                            s_ = jnp.where((s_ < 0) & sm, e, s_)
+                        fsv[g, FS_TMP] = s_
+                slot = fsv[g, FS_TMP]
 
                 @pl.when(slot >= 0)
                 def _():
@@ -966,6 +1057,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             fsv[g, FS_LIVE] = jnp.where(skip, 0, live_n)
             fsv[g, FS_DONE] = skip.astype(jnp.int32)
             fsv[g, FS_QID] = -1
+            fsv[g, FS_ROW] = msc[0, g, 7]   # lasti delta anchor
 
         def fuse_body(alive):
             for _ in range(2):
@@ -983,7 +1075,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                 na += jnp.where(done, 0, 1)
             return na
 
-        if "fuse" not in GK_ABLATE:
+        if not _ablated(cfg, "fuse"):
             jax.lax.while_loop(lambda a: a > 0, fuse_body, jnp.int32(G))
 
         # final edge last -> SINK (ref pg_fuse_steps tail)
@@ -1037,8 +1129,13 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             head = stv[g, SV_HEAD]
             idx = stv[g, SV_IDX]
             cur = q[g, head]
-            i2n_o[0, g, idx] = cur
-            n2i_o[0, g, cur] = idx
+            # both topo maps live in ONE packed word array: low half
+            # i2n[idx], high half n2i[id] — every live slot gets both
+            # halves written over the course of the sort
+            w = i2nn_o[0, g, idx]
+            i2nn_o[0, g, idx] = (w & ~0xFFFF) | cur
+            w2 = i2nn_o[0, g, cur]
+            i2nn_o[0, g, cur] = (w2 & 0xFFFF) | (idx << 16)
             stv[g, SV_HEAD] = head + 1
             stv[g, SV_IDX] = idx + 1
             stv[g, SV_DONE] = jnp.where(cur == SINK_NODE_ID, 1, 0)
@@ -1088,7 +1185,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                                 1, 0)
             return na
 
-        if "topo" not in GK_ABLATE:
+        if not _ablated(cfg, "topo"):
             jax.lax.while_loop(lambda a: a > 0, topo_body, jnp.int32(G))
 
         # ------- max_remain in reverse topo order (packed into the ----
@@ -1106,23 +1203,46 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
 
                 @pl.when(k < nn)
                 def _(g=g, nn=nn):
-                    u = jnp.clip(i2n_o[0, g, nn - 1 - k], 0, R - 1)
+                    u = jnp.clip(i2nn_o[0, g, nn - 1 - k] & 0xFFFF,
+                                 0, R - 1)
                     cw = ctrl[0, g, u]
                     no = (cw >> 3) & 15
-                    bw = jnp.int32(-1)
-                    bv = jnp.int32(SINK_NODE_ID)
-                    for e in range(E):
-                        hw = outp[0, g, u * E2 + (e >> 1)]
-                        hv = (hw >> (16 * (e & 1))) & 0xFFFF
-                        take = (e < no) & ((hv >> IDB) > bw)
-                        bv = jnp.where(take, hv & IDM, bv)
-                        bw = jnp.where(take, hv >> IDB, bw)
+                    if GV == 0:
+                        bw_ = jnp.int32(-1)
+                        bv_ = jnp.int32(SINK_NODE_ID)
+                        for e in range(E):
+                            hw = outp[0, g, u * E2 + (e >> 1)]
+                            hv = (hw >> (16 * (e & 1))) & 0xFFFF
+                            take = (e < no) & ((hv >> IDB) > bw_)
+                            bv_ = jnp.where(take, hv & IDM, bv_)
+                            bw_ = jnp.where(take, hv >> IDB, bw_)
+                        bv = bv_
+                    else:
+                        # single-out fast path (chain nodes, the vast
+                        # majority): the heaviest edge IS slot 0; the
+                        # first-max scan runs only for out-degree > 1
+                        h0 = outp[0, g, u * E2] & 0xFFFF
+                        fsv[g, FS_TMP] = h0 & IDM
+
+                        @pl.when(no > 1)
+                        def _(u=u):
+                            bw = h0 >> IDB
+                            bv2 = h0 & IDM
+                            for e in range(1, E):
+                                hw = outp[0, g, u * E2 + (e >> 1)]
+                                hv = (hw >> (16 * (e & 1))) & 0xFFFF
+                                take = (e < no) & ((hv >> IDB) > bw)
+                                bv2 = jnp.where(take, hv & IDM, bv2)
+                                bw = jnp.where(take, hv >> IDB, bw)
+                            fsv[g, FS_TMP] = bv2
+                        bv = jnp.where(no == 0, jnp.int32(SINK_NODE_ID),
+                                       fsv[g, FS_TMP])
                     rem = jnp.where(
                         u == SINK_NODE_ID, jnp.int32(-1),
                         (ctrl[0, g, jnp.minimum(bv, R - 1)] >> 16) + 1)
                     ctrl[0, g, u] = (cw & 0xFFFF) | (rem << 16)
             return c
-        if "remain" not in GK_ABLATE:
+        if not _ablated(cfg, "remain"):
             jax.lax.fori_loop(0, R, rem_body, 0)
 
         for g in range(G):
@@ -1139,7 +1259,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
         def kernel(msc, i2n_in, steps, qp4,
                    ctrl_h, outp_h, inp_h, alp_h,
                    ctrl_ho, outp_ho, inp_ho, alp_ho,
-                   i2n_o, n2i_o, stat_o,
+                   i2nn_o, stat_o,
                    ctrl, outp, inp, alp, indeg, q, fsv, stv, sems):
             # state lives in HBM (aliased in==out); DMA the program's
             # slice into SMEM scratch, mutate, DMA back
@@ -1154,7 +1274,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             for d in dmas:
                 d.wait()
             body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
-                 i2n_o, n2i_o, stat_o, indeg, q, fsv, stv)
+                 i2nn_o, stat_o, indeg, q, fsv, stv)
             outs = ((ctrl, ctrl_ho), (outp, outp_ho), (inp, inp_ho),
                     (alp, alp_ho))
             dmas = [pltpu.make_async_copy(src.at[0], dst.at[b],
@@ -1168,7 +1288,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
         def kernel(msc, i2n_in, steps, qp4,
                    ctrl_i, outp_i, inp_i, alp_i,
                    ctrl, outp, inp, alp,
-                   i2n_o, n2i_o, stat_o,
+                   i2nn_o, stat_o,
                    indeg, q, fsv, stv, sems):
             # Output SMEM blocks are NOT initialized from the aliased
             # HBM buffers on the compiled backend (aliasing only donates
@@ -1183,12 +1303,12 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             for d in dmas:
                 d.wait()
             body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
-                 i2n_o, n2i_o, stat_o, indeg, q, fsv, stv)
+                 i2nn_o, stat_o, indeg, q, fsv, stv)
     else:  # "scalar"
         def kernel(msc, i2n_in, steps, qp4,
                    ctrl_i, outp_i, inp_i, alp_i,
                    ctrl, outp, inp, alp,
-                   i2n_o, n2i_o, stat_o,
+                   i2nn_o, stat_o,
                    indeg, q, fsv, stv):
             def cp_in(t, c):
                 for g in range(G):
@@ -1202,7 +1322,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                 return c
             jax.lax.fori_loop(0, R, cp_in, 0)
             body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
-                 i2n_o, n2i_o, stat_o, indeg, q, fsv, stv)
+                 i2nn_o, stat_o, indeg, q, fsv, stv)
     return kernel
 
 
@@ -1210,13 +1330,13 @@ class PackedState(NamedTuple):
     """The device loop's scan carry: the graph state in the packed form
     both kernels consume directly — no per-round pack/unpack/gather glue.
     ctrl: base(3)|n_out(4)<<3|n_al(3)<<7|n_in(4)<<10|remain(16,s)<<16;
-    outp: out-edge halves id|w<<(16-wbits); inp/alp: id halves."""
+    outp: out-edge halves id|w<<(16-wbits); inp/alp: id halves;
+    i2nn: the topo maps packed as i2n | n2i<<16."""
     ctrl: "jax.Array"     # [B, R] i32
     outp: "jax.Array"     # [B, R*E//2] i32
     inp: "jax.Array"      # [B, R*P//2] i32
     alp: "jax.Array"      # [B, R*(A+1)//2] i32
-    i2n: "jax.Array"      # [B, R] i32
-    n2i: "jax.Array"      # [B, R] i32
+    i2nn: "jax.Array"     # [B, R] i32
     node_n: "jax.Array"   # [B] i32
     fail: "jax.Array"     # [B] i32 (sticky)
 
@@ -1254,8 +1374,9 @@ def pack_state(cfg: LoopConfig, st: GState, i2n, n2i, remain):
                   | (st.out_w.astype(i32) << IDB), B, R, E2)
     inp = _pack2(st.in_ids, B, R, P2)
     alp = _pack2(st.al_ids, B, R, A2)
-    return PackedState(ctrl, outp, inp, alp, jnp.asarray(i2n),
-                       jnp.asarray(n2i), st.node_n, st.fail)
+    i2nn = (jnp.asarray(i2n).astype(i32) & 0xFFFF) \
+        | (jnp.asarray(n2i).astype(i32) << 16)
+    return PackedState(ctrl, outp, inp, alp, i2nn, st.node_n, st.fail)
 
 
 def unpack_state(cfg: LoopConfig, ps: PackedState):
@@ -1273,20 +1394,33 @@ def unpack_state(cfg: LoopConfig, ps: PackedState):
         in_ids=_unpack2(ps.inp, B, R, P2, P), n_in=(ctrl >> 10) & 15,
         al_ids=_unpack2(ps.alp, B, R, A2, A), n_al=(ctrl >> 7) & 7,
         node_n=ps.node_n, fail=ps.fail)
-    return st, ps.i2n, ps.n2i, ctrl >> 16
+    return st, ps.i2nn & 0xFFFF, ps.i2nn >> 16, ctrl >> 16
 
 
-def pack_steps2(cfg: LoopConfig, steps):
-    """Step words -> op(2)|row(12) 16-bit halves, 2/word: the scalar
-    fusion replay tracks the query position incrementally (C's
-    query_id), so the column bits never ship."""
+def s16w_to_s16(s16w):
+    """Wire words (2 steps16 halves/int32, low = even step) -> the flat
+    int16 stream tests and the host replay consume."""
+    import jax
     import jax.numpy as jnp
+    h = jax.lax.bitcast_convert_type(s16w, jnp.int16)
+    return h.reshape(*s16w.shape[:-1], -1)
+
+
+def steps32_to_s16w(steps, misc):
+    """Legacy op|row<<2|col<<14 step words + misc -> (wire s16w halves,
+    misc with M_LASTI set). Compat shim for tests that hand-build step
+    streams (the production DP kernel emits the wire format directly)."""
+    import jax.numpy as jnp
+    from . import dp_pallas as dpp
+    from .dp_pallas_band import steps16_compress
     i32 = jnp.int32
-    sp = (steps & 3) | (((steps >> 2) & 0xFFF) << 2)
-    if cfg.LS % 2:
-        sp = jnp.concatenate(
-            [sp, jnp.zeros(sp.shape[:-1] + (1,), i32)], axis=-1)
-    return (sp[..., 0::2] & 0xFFFF) | (sp[..., 1::2] << 16)
+    s16 = steps16_compress(steps, misc).astype(i32) & 0xFFFF
+    s16w = s16[..., 0::2] | (s16[..., 1::2] << 16)
+    iseq = (steps >> 2) & 0xFFF
+    lasti = jnp.take_along_axis(
+        iseq, jnp.maximum(misc[:, dpp.M_NSTEPS:dpp.M_NSTEPS + 1] - 1, 0),
+        axis=1)[:, 0]
+    return s16w, misc.at[:, dpp.M_LASTI].set(lasti)
 
 
 def pack_qp4(cfg: LoopConfig, qcodes):
@@ -1302,13 +1436,14 @@ def pack_qp4(cfg: LoopConfig, qcodes):
             | (qb[..., 3::4] << 24))
 
 
-def graph_update_packed(cfg: LoopConfig, ps: PackedState, steps, misc,
+def graph_update_packed(cfg: LoopConfig, ps: PackedState, s16w, misc,
                         qlen, qp4, interpret=False, impl=None):
     """Fusion + re-sort + max_remain of one round on the PACKED state via
     the merged Pallas graph kernel. Instances whose round was bad/failed
     (or qlen 0) keep their state; capacity or topo failure sets the
-    sticky fail flag. steps: [B, LS] int32 op|row<<2|col<<14 (BandOut
-    order); qp4: [B, ceil(Wq/4)] packed query codes."""
+    sticky fail flag. s16w: [B, LS//2] wire-format steps16 halves (the
+    DP kernel's direct output; rows reconstruct from misc M_LASTI);
+    qp4: [B, ceil(Wq/4)] packed query codes."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1320,12 +1455,11 @@ def graph_update_packed(cfg: LoopConfig, ps: PackedState, steps, misc,
     i32 = jnp.int32
     impl = cfg.gk if impl is None else impl
 
-    sp2 = pack_steps2(cfg, steps)
     bad = (misc[:, dpp.M_OVFL] | misc[:, dpp.M_FAIL]) > 0
     msc = jnp.stack(
         [qlen, jnp.maximum(misc[:, dpp.M_ENDJ], 0), misc[:, dpp.M_BJ],
          misc[:, dpp.M_NSTEPS], bad.astype(i32), ps.node_n,
-         ps.fail], axis=1)
+         ps.fail, misc[:, dpp.M_LASTI]], axis=1)
 
     def grp(x):
         return x.reshape(NP_, G, -1)
@@ -1335,30 +1469,29 @@ def graph_update_packed(cfg: LoopConfig, ps: PackedState, steps, misc,
                             memory_space=pltpu.SMEM)
 
     kern = make_graph_kernel2(cfg, impl)
-    LS2 = sp2.shape[1]
+    LS2 = s16w.shape[1]
     state_k = (R, R * E2, R * P2, R * A2)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((NP_, G, k), i32) for k in state_k) + (
-        jax.ShapeDtypeStruct((NP_, G, R), i32),        # i2n
-        jax.ShapeDtypeStruct((NP_, G, R), i32),        # n2i
+        jax.ShapeDtypeStruct((NP_, G, R), i32),        # i2n|n2i<<16
         jax.ShapeDtypeStruct((NP_, G, 2), i32),        # node_n, fail
     )
     in_specs = [smem(8), smem(R), smem(LS2), smem(Wq4_of(cfg))]
     scratch = [pltpu.SMEM((G, R), i32),   # indeg
                pltpu.SMEM((G, R), i32),   # queue
-               pltpu.SMEM((G, 8), i32),   # fusion state
+               pltpu.SMEM((G, 12), i32),  # fusion state (+search temp)
                pltpu.SMEM((G, 4), i32)]   # topo state
     if impl == "any":
-        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        anyspec = pl.BlockSpec(memory_space=pl.ANY)
         in_specs += [anyspec] * 4
-        out_specs = (anyspec,) * 4 + (smem(R), smem(R), smem(2))
+        out_specs = (anyspec,) * 4 + (smem(R), smem(2))
         # state scratch (the DMA targets) + 4 DMA semaphores
         scratch = [pltpu.SMEM((1, G, k), i32) for k in state_k] \
             + scratch + [pltpu.SemaphoreType.DMA((4,))]
     else:
         in_specs += [smem(k) for k in state_k]
         out_specs = tuple(smem(k) for k in state_k) \
-            + (smem(R), smem(R), smem(2))
+            + (smem(R), smem(2))
         if impl == "smem":
             scratch = scratch + [pltpu.SemaphoreType.DMA((4,))]
     outs = pl.pallas_call(
@@ -1370,13 +1503,13 @@ def graph_update_packed(cfg: LoopConfig, ps: PackedState, steps, misc,
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
         scratch_shapes=scratch,
         interpret=interpret,
-    )(grp(jnp.pad(msc, ((0, 0), (0, 1)))), grp(ps.i2n), grp(sp2),
+    )(grp(msc), grp(ps.i2nn), grp(s16w),
       grp(qp4), grp(ps.ctrl), grp(ps.outp), grp(ps.inp), grp(ps.alp))
-    (ctrl2, outp2, inp2, alp2, i2n2, n2i2, stat) = outs
+    (ctrl2, outp2, inp2, alp2, i2nn2, stat) = outs
     stat = stat.reshape(B, 2)
     return PackedState(ctrl2.reshape(B, R), outp2.reshape(B, R * E2),
                        inp2.reshape(B, R * P2), alp2.reshape(B, R * A2),
-                       i2n2.reshape(B, R), n2i2.reshape(B, R),
+                       i2nn2.reshape(B, R),
                        stat[:, 0], stat[:, 1])
 
 
@@ -1387,13 +1520,15 @@ def Wq4_of(cfg: LoopConfig) -> int:
 def graph_update_batch(cfg: LoopConfig, st: GState, i2n, steps, misc,
                        qcodes, qlen, interpret=False):
     """GState-API compatibility wrapper over graph_update_packed (tests
-    cross-check it against fuse_batch + topo_batch). Same contract as
-    before; remain is recomputed in-kernel and dropped here."""
+    cross-check it against fuse_batch + topo_batch). Takes the legacy
+    op|row<<2|col<<14 step words; remain is recomputed in-kernel and
+    dropped here."""
     import jax.numpy as jnp
     zeros = jnp.zeros_like(jnp.asarray(i2n))
     ps = pack_state(cfg, st, i2n, zeros, zeros)
     qp4 = pack_qp4(cfg, qcodes)
-    ps2 = graph_update_packed(cfg, ps, steps, misc, qlen, qp4,
+    s16w, misc2 = steps32_to_s16w(jnp.asarray(steps), jnp.asarray(misc))
+    ps2 = graph_update_packed(cfg, ps, s16w, misc2, qlen, qp4,
                               interpret=interpret)
     st2, i2n2, n2i2, _ = unpack_state(cfg, ps2)
     return st2, i2n2, n2i2

@@ -1108,7 +1108,7 @@ def _loop_geometry(params, instances):
     from ..align.engine_np import score_width_dispatch
     from ..align.engine_jax import pick_WB
     from ..ops.poa_loop import LoopConfig
-    from ..ops.dp_pallas_band import pick_band_G
+    from ..ops.dp_pallas_band import pick_band_G_packed
     lens = [len(q) for reads in instances for q in reads]
     if not lens:
         return None
@@ -1131,7 +1131,11 @@ def _loop_geometry(params, instances):
     if Wq >= 32000 or R > 4096:
         return None
     import os
-    G = pick_band_G(params.gap_mode, R, WB, 8, params.m, LS)
+    G = pick_band_G_packed(params.gap_mode, R, WB, 8, params.m, LS)
+    # the DP sweep is SCALAR-bound per row per g (round-5 on-chip A/B:
+    # G=16 vs G=8 at B=64 was a wash, 1.18 vs 1.15 s median), so prefer
+    # the smaller packing: same speed, half the VMEM, faster compiles
+    G = min(G, 8)
     if G < 4:
         return None
     GT = 4                          # graph kernel SMEM budget
@@ -1148,6 +1152,9 @@ def _loop_geometry(params, instances):
     gt_env = os.environ.get("ABPOA_LOOP_GT")
     if gt_env:
         GT = max(1, int(gt_env))
+    gv = int(os.environ.get("ABPOA_GK_VARIANT", "0"))
+    abl = os.environ.get("ABPOA_GK_ABLATE", "")
+    dv = int(os.environ.get("ABPOA_DP_VARIANT", "0"))
     # out-edge weights pack above the node-id bits in 16-bit halves:
     # unit weights bound the max edge weight by reads-per-instance
     max_reads = max(len(reads) for reads in instances)
@@ -1157,7 +1164,8 @@ def _loop_geometry(params, instances):
     return LoopConfig(R=R, E=12, P=8, A=4, Wq=Wq, WB=WB, LS=LS, NR=NR,
                       B=0, G=G, GT=GT, pn=pn, inf_min=inf_min,
                       gap_mode=params.gap_mode,
-                      use_zdrop=params.zdrop > 0, wbits=wbits, gk=gk)
+                      use_zdrop=params.zdrop > 0, wbits=wbits, gk=gk,
+                      gv=gv, abl=abl, dv=dv)
 
 
 _LOOP_MESH_CACHE: dict = {}
@@ -1290,8 +1298,12 @@ class _DeviceLoop:
         # is the phase's total wall (<= e2e), never double-counted
         t_prev = t0
         for part, cfg, stF, misc_d, s16_d, cap in pends:
-            misc, s16, failv = jax.device_get(
-                (misc_d, s16_d[:, :, :cap], stF.fail))
+            # the wire format is steps16 halves packed 2/int32 word
+            # (emitted by the DP kernel directly); a view recovers the
+            # int16 stream
+            misc, s16w, failv = jax.device_get(
+                (misc_d, s16_d[:, :, :cap // 2], stF.fail))
+            s16 = s16w.view(np.int16)
             t1 = time.perf_counter()
             bp.dp_seconds += t1 - t_prev
             bp.dp_intervals.append((t_prev, t1))
@@ -1341,9 +1353,11 @@ class _DeviceLoop:
                     mi = misc[r, b]
                     nst = int(mi[dpp.M_NSTEPS])
                     if nst > s16.shape[2]:   # rare over-cap: refetch
+                        w = jax.device_get(
+                            s16_d[r, b, :(nst + 1) // 2])
                         steps32 = bt_xla.unpack_steps16(
-                            jax.device_get(s16_d[r, b, :nst]), nst,
-                            int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
+                            np.ascontiguousarray(w).view(np.int16)[:nst],
+                            nst, int(mi[dpp.M_BI]), int(mi[dpp.M_BJ]))
                     else:
                         steps32 = steps_all[r, b]
                     if not g.is_topological_sorted:

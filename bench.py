@@ -547,6 +547,49 @@ def main():
             extras["seeded"] = {"error": repr(e)}
         _emit()
 
+    # ---- phase ledger: DP-only e2e via the graph-kernel ablation ----
+    # (the ablation is part of the STATIC loop config, so this compiles
+    # its own jit entry and the persistent cache amortizes it across
+    # rounds). graph+glue = full - dp_only, the round-5 verdict metric.
+    if best.used_device_loop and left() > 90:
+        try:
+            os.environ["ABPOA_GK_ABLATE"] = "graph"
+            os.environ["ABPOA_LOOP_NO_REPLAY"] = "1"
+            BatchPOA(Params().post_set()).run_consensus(instances)
+            bl = BatchPOA(Params().post_set())
+            t0 = time.perf_counter()
+            bl.run_consensus(instances)
+            dp_only = time.perf_counter() - t0
+            extras["ledger"] = {
+                "dp_only_e2e_s": round(dp_only, 4),
+                "graph_glue_s": round(max(e2e_med - dp_only, 0.0), 4),
+                "graph_glue_lt_dp": bool(e2e_med - dp_only < dp_only)}
+        except Exception as e:
+            extras["ledger"] = {"error": repr(e)}
+        finally:
+            os.environ.pop("ABPOA_GK_ABLATE", None)
+            os.environ.pop("ABPOA_LOOP_NO_REPLAY", None)
+        _emit()
+
+    # ---- device-busy at B>=256 (round-3 item 3 at the asked batch) ----
+    if best.used_device_loop and left() > 90:
+        try:
+            big = [reads] * max(256, 4 * N_INSTANCES)
+            BatchPOA(Params().post_set()).run_consensus(big)  # compile
+            bb = BatchPOA(Params().post_set())
+            t0 = time.perf_counter()
+            bb.run_consensus(big)
+            b_e2e = time.perf_counter() - t0
+            extras["b256"] = {
+                "instances": len(big),
+                "e2e_seconds": round(b_e2e, 4),
+                "cells_per_s": round(bb.dp_cells / b_e2e, 1),
+                "dp_busy_over_e2e": round(
+                    bb.dp_busy_seconds() / b_e2e, 4)}
+        except Exception as e:
+            extras["b256"] = {"error": repr(e)}
+        _emit()
+
     # ---- best-effort phases; each skips cleanly on low budget ---- #
     if left() > 45:
         try:

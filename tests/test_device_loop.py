@@ -183,6 +183,7 @@ def test_fuse_topo_remain_no_kernel():
         n2i_np = np.asarray(g.node_id_to_index)
         j = 0
         lead = trail = 0
+        prev_row = 0
         ent = list(res.cigar)
         if ent and ent[0][0] == CINS and ent[0][1] == ent[0][2] - 1:
             lead = ent[0][2]
@@ -191,13 +192,19 @@ def test_fuse_topo_remain_no_kernel():
         for e in ent:
             if e[0] == CMATCH:
                 j += 1
-                fwd.append((0, int(n2i_np[e[1]]), j))
+                prev_row = int(n2i_np[e[1]])
+                fwd.append((0, prev_row, j))
             elif e[0] == CDEL:
-                fwd.append((2, int(n2i_np[e[1]]), j))
+                prev_row = int(n2i_np[e[1]])
+                fwd.append((2, prev_row, j))
             elif e[0] == CINS:
+                # the row is unused for I fusion, but the wire encoding
+                # is a delta stream: carry the walk's current row (the
+                # previous M/D row) so deltas stay non-negative, exactly
+                # as the real walker emits
                 for _ in range(e[2]):
                     j += 1
-                    fwd.append((1, 0, j))
+                    fwd.append((1, prev_row, j))
         # trailing insertions belong to best_j < qlen
         while fwd and fwd[-1][0] == 1:
             trail += 1
