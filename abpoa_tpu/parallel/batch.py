@@ -589,9 +589,14 @@ class BatchPOA:
                 out = kern(*stacked)
                 st = out.steps16 if use_band else out.steps
                 pend["steps_dev"] = st
+                # mpl|mpr ship as ONE packed word per row: the band-state
+                # writeback is half the seeded phase's downlink bytes
+                # (values are < 2^15; the ~16 MB/s tunnel downlink is the
+                # phase's bottleneck)
+                mplr = (out.mpl[:nb, :mxn] & 0xFFFF) \
+                    | (out.mpr[:nb, :mxn] << 16)
                 return jax.device_get(
-                    (out.misc[:nb], st[:nb, :step_cap],
-                     out.mpl[:nb, :mxn], out.mpr[:nb, :mxn]))
+                    (out.misc[:nb], st[:nb, :step_cap], mplr))
             pend["future"] = self._pool().submit(submit)
             pends.append(pend)
         return pends
@@ -677,7 +682,9 @@ class BatchPOA:
             return self._seeded_apply_xla(pend, abs_)
         params = self.params
         results = {}
-        misc, steps, mpl, mpr = pend["future"].result()
+        misc, steps, mplr = pend["future"].result()
+        mpl = mplr & 0xFFFF
+        mpr = mplr >> 16
         items = pend["items"]
         t1 = time.perf_counter()
         self.dp_seconds += t1 - pend["t0"]
@@ -1154,7 +1161,10 @@ def _loop_geometry(params, instances):
         GT = max(1, int(gt_env))
     gv = int(os.environ.get("ABPOA_GK_VARIANT", "0"))
     abl = os.environ.get("ABPOA_GK_ABLATE", "")
-    dv = int(os.environ.get("ABPOA_DP_VARIANT", "0"))
+    # dv=1 gates the band-pull predecessor tail behind npre>1 (chain
+    # rows, the vast majority, skip P-1 pull iterations): -4% e2e in the
+    # round-5 interleaved A/B (1.053 vs 1.096 s median at B=64)
+    dv = int(os.environ.get("ABPOA_DP_VARIANT", "1"))
     # out-edge weights pack above the node-id bits in 16-bit halves:
     # unit weights bound the max edge weight by reads-per-instance
     max_reads = max(len(reads) for reads in instances)
@@ -1217,7 +1227,7 @@ class _DeviceLoop:
             # requested (tests/fuzz campaigns opt in)
             return False
         from ..params import GLOBAL_MODE
-        if (p.align_mode != GLOBAL_MODE or p.wb < 0 or p.amb_strand
+        if (p.align_mode != GLOBAL_MODE or p.wb < 0
                 or p.rev_cigar or p.m != 5
                 or bp._weights is not None
                 or any(r0 != 0 for r0 in bp._rid0)):
@@ -1351,6 +1361,19 @@ class _DeviceLoop:
                 g = ab.graph
                 for r, q in enumerate(reads[1:]):
                     mi = misc[r, b]
+                    if params.amb_strand and bp._amb_flagged(
+                            ab, q, int(mi[dpp.M_BEST])):
+                        # ambiguous-strand retry (ref abpoa_align.c:315):
+                        # the device ran fw-only, so from the first
+                        # flagged round the sequential fwd+rc body
+                        # finishes the instance (bit-equal: the fw score
+                        # the flag keyed on matches the oracle's by the
+                        # engine equivalence chain)
+                        for rr in range(r + 1, len(reads)):
+                            qq = reads[rr]
+                            ab.poa_one(params, qq, [1] * len(qq),
+                                       bp._rid(k, rr))
+                        break
                     nst = int(mi[dpp.M_NSTEPS])
                     if nst > s16.shape[2]:   # rare over-cap: refetch
                         w = jax.device_get(

@@ -590,6 +590,26 @@ def main():
             extras["b256"] = {"error": repr(e)}
         _emit()
 
+    # ---- heterogeneous batch on the REAL chip (round-4 verdict item 4:
+    # mixed read counts/lengths is the production shape; must take the
+    # device loop with zero fallbacks). Same shape bucket as the
+    # headline run -> no extra compile.
+    if best.used_device_loop and left() > 30:
+        try:
+            mixed = [reads[k % 4:] if k % 4 else reads
+                     for k in range(N_INSTANCES)]
+            bx = BatchPOA(Params().post_set())
+            t0 = time.perf_counter()
+            bx.run_consensus(mixed)
+            extras["mixed"] = {
+                "instances": len(mixed),
+                "e2e_seconds": round(time.perf_counter() - t0, 4),
+                "device_loop": bx.used_device_loop,
+                "fallbacks": bx.fallbacks}
+        except Exception as e:
+            extras["mixed"] = {"error": repr(e)}
+        _emit()
+
     # ---- best-effort phases; each skips cleanly on low budget ---- #
     if left() > 45:
         try:

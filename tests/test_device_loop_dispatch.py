@@ -101,6 +101,24 @@ def test_dispatcher_heterogeneous_fallback_refetch():
     assert cons2 == exp
 
 
+def test_dispatcher_amb_strand():
+    """-s batches stay on the fast path (round-4 verdict item 8): the
+    device runs fw-only; a reverse-complemented read trips the ambiguity
+    threshold and the replay finishes that instance through the
+    sequential fwd+rc body — bytes must match the serial oracle."""
+    params = Params()
+    params.amb_strand = 1
+    params.post_set()
+    seq = _reads("seq.fa", 6)
+    rc = np.array([3 - b if b < 4 else b for b in seq[2][::-1]],
+                  dtype=np.uint8)
+    instances = [[seq[0], seq[1], rc, seq[3]], seq[:4]]
+    exp = _serial_oracle(instances, params)
+    bp, cons = _run_device_loop(instances, params)
+    assert bp.used_device_loop
+    assert cons == exp
+
+
 @pytest.mark.skipif(not os.environ.get("ABPOA_SLOW_TESTS"),
                     reason="slow interpret-mode mesh compile; the mesh "
                     "device loop also runs in dryrun_multichip")
