@@ -38,11 +38,15 @@ step's node resolution depends only on the PRE-fusion state: new-node
 ids come from a prefix count, the last_id chain is a masked
 fill-forward, and all mutations apply as batched scatters afterwards.
 
-Scope (v1): global align mode, banded (wb >= 0), any gap mode, unit
-weights, m == 5, no amb_strand / qv / incremental restore. Everything
-else stays on the round-based host loop. Per-instance failures (band
-overflow, walk dead end, capacity overflow) set a sticky flag; the host
-re-runs those instances on the bit-exact oracle.
+Scope: global align mode, banded (wb >= 0), any gap mode, m == 5, unit
+or qv per-base weights (wmode=1: wide out-edge words so max_remain's
+heaviest-edge chase stays bit-faithful), amb_strand (device runs
+fw-only; the replay applies the reference ambiguity threshold per round
+and finishes flagged instances through the sequential fwd+rc body). No
+incremental restore (rid0 != 0): that stays on the round-based host
+loop. Per-instance failures (band overflow, walk dead end, capacity
+overflow) set a sticky flag; the host re-runs those instances on the
+bit-exact oracle.
 """
 from __future__ import annotations
 
@@ -73,6 +77,13 @@ class LoopConfig(NamedTuple):
     wbits: int = 4   # out-edge weight bits packed above the 16-wbits id
     #                  bits in the graph kernel (unit weights: max edge
     #                  weight = reads per instance; dispatcher sizes it)
+    wmode: int = 0   # 0 = unit weights, out entries are 16-bit halves
+    #                  (id | w<<(16-wbits)); 1 = qv weights, out entries
+    #                  are FULL words (id | w<<16, weight < 2^15, edge
+    #                  sums bounded by the dispatcher) and a per-base
+    #                  weight stream (qw halves) feeds the fusion
+    #                  (ref weight[q] per resolving edge,
+    #                  native/poagraph.c pg_add_graph_sequence)
     gk: str = "smem"  # graph-kernel state residency (see GK_IMPL)
     abl: str = ""     # comma phase-ablation list (probes only; see
     #                   _ablated) — in the static config so jit caches
@@ -594,7 +605,7 @@ def build_scal(cfg: LoopConfig, ps: PackedState, qlen, scal_base, wb,
 
 
 def device_round_packed(cfg: LoopConfig, ps: PackedState, qlen, qpf, qp4,
-                        scal_base, wb, wf1000, interpret=False):
+                        scal_base, wb, wf1000, qw=None, interpret=False):
     """One POA round entirely on device, zero-glue form: the nid-mode DP
     kernel reads the packed graph state directly (node-id planes), emits
     the wire-format steps16 halves, and the merged graph kernel consumes
@@ -612,7 +623,7 @@ def device_round_packed(cfg: LoopConfig, ps: PackedState, qlen, qpf, qp4,
     misc, s16w = jax.lax.optimization_barrier((misc, s16w))
     if _ablated(cfg, "graph"):   # attribution probe: DP-only timing
         return ps, misc, s16w
-    ps2 = graph_update_packed(cfg, ps, s16w, misc, qlen, qp4,
+    ps2 = graph_update_packed(cfg, ps, s16w, misc, qlen, qp4, qw=qw,
                               interpret=interpret)
     return ps2, misc, s16w
 
@@ -665,7 +676,7 @@ def device_round(cfg: LoopConfig, st: GState, i2n, n2i, remain, qcodes,
 
 def poa_device_loop(cfg: LoopConfig, st0: GState, i2n0, n2i0, remain0,
                     qcodes_rounds, qlen_rounds, scal_base, wb, wf1000,
-                    interpret=False):
+                    qw_rounds=None, interpret=False):
     """lax.scan over NR rounds on the PACKED carry; ONE dispatch. The
     query-profile folds and packed query codes for ALL rounds are
     precomputed before the scan (they depend only on the xs). Returns
@@ -677,6 +688,20 @@ def poa_device_loop(cfg: LoopConfig, st0: GState, i2n0, n2i0, remain0,
     bc = _band_cfg(cfg, nid=True)
     qpf_rounds = build_qpf(bc, scal_base[dpp.S_NSCAL:], qcodes_rounds)
     qp4_rounds = pack_qp4(cfg, qcodes_rounds)
+    if cfg.wmode:
+        qw2_rounds = pack_qw(cfg, qw_rounds)
+
+        def body(ps, xs):
+            ql, qpf, qp4, qw2 = xs
+            ps2, misc, s16 = device_round_packed(
+                cfg, ps, ql, qpf, qp4, scal_base, wb, wf1000, qw=qw2,
+                interpret=interpret)
+            return ps2, (misc, s16)
+
+        psF, (misc, s16) = jax.lax.scan(
+            body, ps0, (qlen_rounds, qpf_rounds, qp4_rounds,
+                        qw2_rounds))
+        return psF, misc, s16
 
     def body(ps, xs):
         ql, qpf, qp4 = xs
@@ -831,8 +856,9 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
      FS_QID, FS_TMP, FS_ROW) = range(10)
     (SV_HEAD, SV_TAIL, SV_IDX, SV_DONE) = range(4)
     GV = cfg.gv
+    WM = cfg.wmode
 
-    def body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+    def body(msc, i2n_in, steps, qp4, qw, ctrl, outp, inp, alp,
              i2nn_o, stat_o, indeg, q, fsv, stv):
         # in-degree scratch seeds from the PRE-fusion counts; fusion's
         # in-append sites bump it incrementally
@@ -851,8 +877,13 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             return ctrl[0, g, v]
 
         def out_at(g, u, e):
+            if WM:
+                return outp[0, g, u * E + e] & 0xFFFF
             w = outp[0, g, u * E2 + (e >> 1)]
             return (w >> (16 * (e & 1))) & IDM
+
+        def qw_at(g, qi):
+            return (qw[0, g, qi >> 1] >> (16 * (qi & 1))) & 0xFFFF
 
         def al_at(g, u, a):
             w = alp[0, g, u * A2 + (a >> 1)]
@@ -870,6 +901,21 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             na = (cm >> 7) & 7
             half_set(alp, g, x * A2 + (na >> 1), na, val)
             ctrl[0, g, x] = cm + (1 << 7)
+
+        def out_bump(g, u, e, wv):
+            # += wv to the edge weight (wv is 1 in unit mode)
+            if WM:
+                i = u * E + e
+                outp[0, g, i] = outp[0, g, i] + (wv << 16)
+            else:
+                half_set(outp, g, u * E2 + (e >> 1), e,
+                         half_get(outp, g, u * E2, e) + WONE)
+
+        def out_new(g, u, e, to, wv):
+            if WM:
+                outp[0, g, u * E + e] = to | (wv << 16)
+            else:
+                half_set(outp, g, u * E2 + (e >> 1), e, to | WONE)
 
         def fuse_step(g):
             t = fsv[g, FS_T]
@@ -1014,11 +1060,11 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                         fsv[g, FS_TMP] = s_
                 slot = fsv[g, FS_TMP]
 
+                wv = qw_at(g, qid) if WM else 1
+
                 @pl.when(slot >= 0)
                 def _():
-                    wi = last * E2 + (slot >> 1)
-                    half_set(outp, g, wi, slot,
-                             half_get(outp, g, last * E2, slot) + WONE)
+                    out_bump(g, last, slot, wv)
 
                 @pl.when(slot < 0)
                 def _():
@@ -1029,8 +1075,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
 
                     @pl.when(ov == 0)
                     def _():
-                        half_set(outp, g, last * E2 + (no >> 1), no,
-                                 to | WONE)
+                        out_new(g, last, no, to, wv)
                         ctrl[0, g, last] = lcw + (1 << 3)
                         half_set(inp, g, to * P2 + (ni >> 1), ni, last)
                         ctrl[0, g, to] = ctrl[0, g, to] + (1 << 10)
@@ -1059,8 +1104,10 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             fsv[g, FS_QID] = -1
             fsv[g, FS_ROW] = msc[0, g, 7]   # lasti delta anchor
 
+        FU = 4 if GV >= 3 else 2   # fuse steps per while iteration
+
         def fuse_body(alive):
-            for _ in range(2):
+            for _ in range(FU):
                 for g in range(G):
                     @pl.when((fsv[g, FS_DONE] == 0)
                              & (fsv[g, FS_T] < fsv[g, FS_LIVE])
@@ -1093,11 +1140,11 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                         & jnp.logical_not(lnew)
                     slot = jnp.where((slot < 0) & sm, e, slot)
 
+                wvs = qw_at(g, msc[0, g, 0] - 1) if WM else 1
+
                 @pl.when(slot >= 0)
                 def _():
-                    wi = last * E2 + (slot >> 1)
-                    half_set(outp, g, wi, slot,
-                             half_get(outp, g, last * E2, slot) + WONE)
+                    out_bump(g, last, slot, wvs)
 
                 @pl.when(slot < 0)
                 def _():
@@ -1108,8 +1155,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
 
                     @pl.when(ov == 0)
                     def _():
-                        half_set(outp, g, last * E2 + (no >> 1), no,
-                                 to | WONE)
+                        out_new(g, last, no, to, wvs)
                         ctrl[0, g, last] = lcw + (1 << 3)
                         half_set(inp, g, to * P2 + (ni >> 1), ni, last)
                         ctrl[0, g, to] = ctrl[0, g, to] + (1 << 10)
@@ -1171,8 +1217,10 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                                         q[g, t0 + 1 + a] = al_at(g, v, a)
                                 stv[g, SV_TAIL] = t0 + 1 + na_v
 
+        KP = 8 if GV >= 3 else 4   # pops per while iteration
+
         def topo_body(alive):
-            for _ in range(4):
+            for _ in range(KP):
                 for g in range(G):
                     @pl.when((stv[g, SV_DONE] == 0)
                              & (stv[g, SV_HEAD] < stv[g, SV_TAIL]))
@@ -1207,33 +1255,41 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                                  0, R - 1)
                     cw = ctrl[0, g, u]
                     no = (cw >> 3) & 15
+
+                    def edge_iw(e, u=u):
+                        """(id, weight) of out slot e."""
+                        if WM:
+                            word = outp[0, g, u * E + e]
+                            return word & 0xFFFF, word >> 16
+                        hw = outp[0, g, u * E2 + (e >> 1)]
+                        hv = (hw >> (16 * (e & 1))) & 0xFFFF
+                        return hv & IDM, hv >> IDB
+
                     if GV == 0:
                         bw_ = jnp.int32(-1)
                         bv_ = jnp.int32(SINK_NODE_ID)
                         for e in range(E):
-                            hw = outp[0, g, u * E2 + (e >> 1)]
-                            hv = (hw >> (16 * (e & 1))) & 0xFFFF
-                            take = (e < no) & ((hv >> IDB) > bw_)
-                            bv_ = jnp.where(take, hv & IDM, bv_)
-                            bw_ = jnp.where(take, hv >> IDB, bw_)
+                            eid, ew = edge_iw(e)
+                            take = (e < no) & (ew > bw_)
+                            bv_ = jnp.where(take, eid, bv_)
+                            bw_ = jnp.where(take, ew, bw_)
                         bv = bv_
                     else:
                         # single-out fast path (chain nodes, the vast
                         # majority): the heaviest edge IS slot 0; the
                         # first-max scan runs only for out-degree > 1
-                        h0 = outp[0, g, u * E2] & 0xFFFF
-                        fsv[g, FS_TMP] = h0 & IDM
+                        id0, w0 = edge_iw(0)
+                        fsv[g, FS_TMP] = id0
 
                         @pl.when(no > 1)
-                        def _(u=u):
-                            bw = h0 >> IDB
-                            bv2 = h0 & IDM
+                        def _(u=u, id0=id0, w0=w0):
+                            bw = w0
+                            bv2 = id0
                             for e in range(1, E):
-                                hw = outp[0, g, u * E2 + (e >> 1)]
-                                hv = (hw >> (16 * (e & 1))) & 0xFFFF
-                                take = (e < no) & ((hv >> IDB) > bw)
-                                bv2 = jnp.where(take, hv & IDM, bv2)
-                                bw = jnp.where(take, hv >> IDB, bw)
+                                eid, ew = edge_iw(e, u)
+                                take = (e < no) & (ew > bw)
+                                bv2 = jnp.where(take, eid, bv2)
+                                bw = jnp.where(take, ew, bw)
                             fsv[g, FS_TMP] = bv2
                         bv = jnp.where(no == 0, jnp.int32(SINK_NODE_ID),
                                        fsv[g, FS_TMP])
@@ -1255,12 +1311,22 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             stat_o[0, g, 0] = nn
             stat_o[0, g, 1] = fail
 
+    NSI = 5 if WM else 4   # non-state inputs (msc,i2n,steps,qp4[,qw])
+    OE = E if WM else E2   # outp words per node
+
+    def _split_ins(refs):
+        msc, i2n_in, steps, qp4 = refs[:4]
+        qw = refs[4] if WM else None
+        return msc, i2n_in, steps, qp4, qw
+
     if impl == "any":
-        def kernel(msc, i2n_in, steps, qp4,
-                   ctrl_h, outp_h, inp_h, alp_h,
-                   ctrl_ho, outp_ho, inp_ho, alp_ho,
-                   i2nn_o, stat_o,
-                   ctrl, outp, inp, alp, indeg, q, fsv, stv, sems):
+        def kernel(*refs):
+            msc, i2n_in, steps, qp4, qw = _split_ins(refs)
+            (ctrl_h, outp_h, inp_h, alp_h) = refs[NSI:NSI + 4]
+            (ctrl_ho, outp_ho, inp_ho, alp_ho) = refs[NSI + 4:NSI + 8]
+            (i2nn_o, stat_o) = refs[NSI + 8:NSI + 10]
+            (ctrl, outp, inp, alp, indeg, q, fsv, stv,
+             sems) = refs[NSI + 10:]
             # state lives in HBM (aliased in==out); DMA the program's
             # slice into SMEM scratch, mutate, DMA back
             b = pl.program_id(0)
@@ -1273,7 +1339,7 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                 d.start()
             for d in dmas:
                 d.wait()
-            body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+            body(msc, i2n_in, steps, qp4, qw, ctrl, outp, inp, alp,
                  i2nn_o, stat_o, indeg, q, fsv, stv)
             outs = ((ctrl, ctrl_ho), (outp, outp_ho), (inp, inp_ho),
                     (alp, alp_ho))
@@ -1285,11 +1351,12 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
             for d in dmas:
                 d.wait()
     elif impl == "smem":
-        def kernel(msc, i2n_in, steps, qp4,
-                   ctrl_i, outp_i, inp_i, alp_i,
-                   ctrl, outp, inp, alp,
-                   i2nn_o, stat_o,
-                   indeg, q, fsv, stv, sems):
+        def kernel(*refs):
+            msc, i2n_in, steps, qp4, qw = _split_ins(refs)
+            (ctrl_i, outp_i, inp_i, alp_i) = refs[NSI:NSI + 4]
+            (ctrl, outp, inp, alp) = refs[NSI + 4:NSI + 8]
+            (i2nn_o, stat_o) = refs[NSI + 8:NSI + 10]
+            (indeg, q, fsv, stv, sems) = refs[NSI + 10:]
             # Output SMEM blocks are NOT initialized from the aliased
             # HBM buffers on the compiled backend (aliasing only donates
             # HBM); DMA the input blocks across instead of the round-4
@@ -1302,26 +1369,28 @@ def make_graph_kernel2(cfg: LoopConfig, impl: str):
                 d.start()
             for d in dmas:
                 d.wait()
-            body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+            body(msc, i2n_in, steps, qp4, qw, ctrl, outp, inp, alp,
                  i2nn_o, stat_o, indeg, q, fsv, stv)
     else:  # "scalar"
-        def kernel(msc, i2n_in, steps, qp4,
-                   ctrl_i, outp_i, inp_i, alp_i,
-                   ctrl, outp, inp, alp,
-                   i2nn_o, stat_o,
-                   indeg, q, fsv, stv):
+        def kernel(*refs):
+            msc, i2n_in, steps, qp4, qw = _split_ins(refs)
+            (ctrl_i, outp_i, inp_i, alp_i) = refs[NSI:NSI + 4]
+            (ctrl, outp, inp, alp) = refs[NSI + 4:NSI + 8]
+            (i2nn_o, stat_o) = refs[NSI + 8:NSI + 10]
+            (indeg, q, fsv, stv) = refs[NSI + 10:]
+
             def cp_in(t, c):
                 for g in range(G):
                     ctrl[0, g, t] = ctrl_i[0, g, t]
-                    for e in range(E2):
-                        outp[0, g, t * E2 + e] = outp_i[0, g, t * E2 + e]
+                    for e in range(OE):
+                        outp[0, g, t * OE + e] = outp_i[0, g, t * OE + e]
                     for pp in range(P2):
                         inp[0, g, t * P2 + pp] = inp_i[0, g, t * P2 + pp]
                     for a in range(A2):
                         alp[0, g, t * A2 + a] = alp_i[0, g, t * A2 + a]
                 return c
             jax.lax.fori_loop(0, R, cp_in, 0)
-            body(msc, i2n_in, steps, qp4, ctrl, outp, inp, alp,
+            body(msc, i2n_in, steps, qp4, qw, ctrl, outp, inp, alp,
                  i2nn_o, stat_o, indeg, q, fsv, stv)
     return kernel
 
@@ -1370,8 +1439,13 @@ def pack_state(cfg: LoopConfig, st: GState, i2n, n2i, remain):
     ctrl = (st.bases.astype(i32) | (st.n_out.astype(i32) << 3)
             | (st.n_al.astype(i32) << 7) | (st.n_in.astype(i32) << 10)
             | ((jnp.asarray(remain).astype(i32) & 0xFFFF) << 16))
-    outp = _pack2(st.out_ids.astype(i32)
-                  | (st.out_w.astype(i32) << IDB), B, R, E2)
+    if cfg.wmode:
+        # qv weights: full words id | w<<16
+        outp = (st.out_ids.astype(i32)
+                | (st.out_w.astype(i32) << 16)).reshape(B, R * cfg.E)
+    else:
+        outp = _pack2(st.out_ids.astype(i32)
+                      | (st.out_w.astype(i32) << IDB), B, R, E2)
     inp = _pack2(st.in_ids, B, R, P2)
     alp = _pack2(st.al_ids, B, R, A2)
     i2nn = (jnp.asarray(i2n).astype(i32) & 0xFFFF) \
@@ -1386,10 +1460,15 @@ def unpack_state(cfg: LoopConfig, ps: PackedState):
     E2, P2, A2 = E // 2, P // 2, (A + 1) // 2
     IDB = 16 - cfg.wbits
     ctrl = ps.ctrl
-    ow = _unpack2(ps.outp, B, R, E2, E)
+    if cfg.wmode:
+        ow_full = ps.outp.reshape(B, R, E)
+        out_ids, out_w = ow_full & 0xFFFF, ow_full >> 16
+    else:
+        ow = _unpack2(ps.outp, B, R, E2, E)
+        out_ids, out_w = ow & ((1 << IDB) - 1), ow >> IDB
     st = GState(
         bases=ctrl & 7,
-        out_ids=ow & ((1 << IDB) - 1), out_w=ow >> IDB,
+        out_ids=out_ids, out_w=out_w,
         n_out=(ctrl >> 3) & 15,
         in_ids=_unpack2(ps.inp, B, R, P2, P), n_in=(ctrl >> 10) & 15,
         al_ids=_unpack2(ps.alp, B, R, A2, A), n_al=(ctrl >> 7) & 7,
@@ -1436,8 +1515,20 @@ def pack_qp4(cfg: LoopConfig, qcodes):
             | (qb[..., 3::4] << 24))
 
 
+def pack_qw(cfg: LoopConfig, qweights):
+    """Per-base weight stream -> 16-bit halves, 2/word (wmode=1 only).
+    qweights: [..., Wq] ints < 2^15; leading axes free."""
+    import jax.numpy as jnp
+    i32 = jnp.int32
+    w = qweights.astype(i32) & 0xFFFF
+    if cfg.Wq % 2:
+        w = jnp.concatenate(
+            [w, jnp.zeros(w.shape[:-1] + (1,), i32)], axis=-1)
+    return w[..., 0::2] | (w[..., 1::2] << 16)
+
+
 def graph_update_packed(cfg: LoopConfig, ps: PackedState, s16w, misc,
-                        qlen, qp4, interpret=False, impl=None):
+                        qlen, qp4, qw=None, interpret=False, impl=None):
     """Fusion + re-sort + max_remain of one round on the PACKED state via
     the merged Pallas graph kernel. Instances whose round was bad/failed
     (or qlen 0) keep their state; capacity or topo failure sets the
@@ -1470,13 +1561,20 @@ def graph_update_packed(cfg: LoopConfig, ps: PackedState, s16w, misc,
 
     kern = make_graph_kernel2(cfg, impl)
     LS2 = s16w.shape[1]
-    state_k = (R, R * E2, R * P2, R * A2)
+    OE = E if cfg.wmode else E2
+    state_k = (R, R * OE, R * P2, R * A2)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((NP_, G, k), i32) for k in state_k) + (
         jax.ShapeDtypeStruct((NP_, G, R), i32),        # i2n|n2i<<16
         jax.ShapeDtypeStruct((NP_, G, 2), i32),        # node_n, fail
     )
     in_specs = [smem(8), smem(R), smem(LS2), smem(Wq4_of(cfg))]
+    ws_in = ()
+    if cfg.wmode:
+        assert qw is not None
+        in_specs.append(smem(qw.shape[-1]))
+        ws_in = (grp(qw),)
+    NSI = len(in_specs)
     scratch = [pltpu.SMEM((G, R), i32),   # indeg
                pltpu.SMEM((G, R), i32),   # queue
                pltpu.SMEM((G, 12), i32),  # fusion state (+search temp)
@@ -1500,14 +1598,14 @@ def graph_update_packed(cfg: LoopConfig, ps: PackedState, s16w, misc,
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        input_output_aliases={NSI + i: i for i in range(4)},
         scratch_shapes=scratch,
         interpret=interpret,
-    )(grp(msc), grp(ps.i2nn), grp(s16w),
-      grp(qp4), grp(ps.ctrl), grp(ps.outp), grp(ps.inp), grp(ps.alp))
+    )(grp(msc), grp(ps.i2nn), grp(s16w), grp(qp4), *ws_in,
+      grp(ps.ctrl), grp(ps.outp), grp(ps.inp), grp(ps.alp))
     (ctrl2, outp2, inp2, alp2, i2nn2, stat) = outs
     stat = stat.reshape(B, 2)
-    return PackedState(ctrl2.reshape(B, R), outp2.reshape(B, R * E2),
+    return PackedState(ctrl2.reshape(B, R), outp2.reshape(B, R * OE),
                        inp2.reshape(B, R * P2), alp2.reshape(B, R * A2),
                        i2nn2.reshape(B, R),
                        stat[:, 0], stat[:, 1])

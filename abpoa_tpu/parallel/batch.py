@@ -1030,14 +1030,15 @@ class BatchPOA:
                 end = t1
         return total
 
-    def run_consensus(self, instances, seeded=False):
+    def run_consensus(self, instances, seeded=False, weights=None):
         """Full pipeline: batched POA then consensus per instance; returns
         list of consensus strings (heaviest bundling, max_n_cons=1).
         seeded=True routes through the windowed -S/-p pipeline."""
         from ..consensus import generate_consensus
         from ..alphabet import decode_table
         self.precompute_cons = True
-        abs_ = self.run_seeded(instances) if seeded else self.run(instances)
+        abs_ = (self.run_seeded(instances, weights=weights) if seeded
+                else self.run(instances, weights=weights))
         tab = decode_table(self.params.m)
 
         def cons_one(ab):
@@ -1109,9 +1110,11 @@ def batch_msa_from_files(params, fns, out):
 # device-resident loop dispatch (ops/poa_loop.py): the whole progressive
 # POA loop in ONE device dispatch — no per-round host round trip.
 
-def _loop_geometry(params, instances):
+def _loop_geometry(params, instances, wmax=None):
     """Static LoopConfig for a batch, or None if outside the v1 envelope
-    (the round-based path then runs instead)."""
+    (the round-based path then runs instead). wmax: max possible edge
+    weight when per-base weights are in play (qv mode) — selects the
+    wide-weight kernel variant (wmode=1) when it fits 15 bits."""
     from ..align.engine_np import score_width_dispatch
     from ..align.engine_jax import pick_WB
     from ..ops.poa_loop import LoopConfig
@@ -1145,7 +1148,26 @@ def _loop_geometry(params, instances):
     G = min(G, 8)
     if G < 4:
         return None
+    # out-edge weights pack above the node-id bits in 16-bit halves:
+    # unit weights bound the max edge weight by reads-per-instance.
+    # qv weights (wmode=1) use full words instead (id | w<<16) and need
+    # the total per-edge weight to fit 15 bits.
+    wmode = 0
+    if wmax is not None:
+        if wmax >= (1 << 15):
+            return None
+        wmode = 1
+        wbits = 4          # unused in wide mode
+    else:
+        max_reads = max(len(reads) for reads in instances)
+        wbits = max(4, int(max_reads).bit_length())
+        if wbits > 6 or R > (1 << (16 - wbits)):
+            return None
     GT = 4                          # graph kernel SMEM budget
+    if wmode:
+        # wide out-edge words double the outp blocks; the smem-resident
+        # graph kernel fits GT=2 at heter scale (scalar-bound anyway)
+        GT = 2
     # test hook: interpret-mode traces unroll the kernel bodies per g,
     # so suite runs cap the packing to keep compiles seconds not minutes
     g_env = os.environ.get("ABPOA_LOOP_G")
@@ -1165,17 +1187,11 @@ def _loop_geometry(params, instances):
     # rows, the vast majority, skip P-1 pull iterations): -4% e2e in the
     # round-5 interleaved A/B (1.053 vs 1.096 s median at B=64)
     dv = int(os.environ.get("ABPOA_DP_VARIANT", "1"))
-    # out-edge weights pack above the node-id bits in 16-bit halves:
-    # unit weights bound the max edge weight by reads-per-instance
-    max_reads = max(len(reads) for reads in instances)
-    wbits = max(4, int(max_reads).bit_length())
-    if wbits > 6 or R > (1 << (16 - wbits)):
-        return None
     return LoopConfig(R=R, E=12, P=8, A=4, Wq=Wq, WB=WB, LS=LS, NR=NR,
                       B=0, G=G, GT=GT, pn=pn, inf_min=inf_min,
                       gap_mode=params.gap_mode,
                       use_zdrop=params.zdrop > 0, wbits=wbits, gk=gk,
-                      gv=gv, abl=abl, dv=dv)
+                      gv=gv, abl=abl, dv=dv, wmode=wmode)
 
 
 _LOOP_MESH_CACHE: dict = {}
@@ -1207,10 +1223,13 @@ class _DeviceLoop:
             Pb = P(bp.batch_axis)          # [B, ...] leaves
             Pr = P(None, bp.batch_axis)    # [NR, B, ...] round stacks
             Pn = P()                       # replicated scalars/params
+            in_specs = (Pb, Pb, Pb, Pb, Pr, Pr, Pn, Pn, Pn)
+            if cfg.wmode:
+                in_specs = in_specs + (Pr,)    # qw_rounds
             _LOOP_MESH_CACHE[key] = jax.jit(jax.shard_map(
                 partial(pls.poa_device_loop, cfg, interpret=interp),
                 mesh=bp.mesh,
-                in_specs=(Pb, Pb, Pb, Pb, Pr, Pr, Pn, Pn, Pn),
+                in_specs=in_specs,
                 out_specs=(Pb, Pr, Pr), check_vma=False))
         return _LOOP_MESH_CACHE[key]
 
@@ -1229,10 +1248,24 @@ class _DeviceLoop:
         from ..params import GLOBAL_MODE
         if (p.align_mode != GLOBAL_MODE or p.wb < 0
                 or p.rev_cigar or p.m != 5
-                or bp._weights is not None
                 or any(r0 != 0 for r0 in bp._rid0)):
             return False
-        self.cfg = _loop_geometry(p, self.instances)
+        wmax = None
+        if bp._weights is not None:
+            # qv mode: the device tracks true edge weights (remain's
+            # heaviest-edge chase is band-geometry-critical); bound the
+            # max possible edge weight = per-instance sum of per-read
+            # weight maxima
+            try:
+                wmax = max(
+                    sum(max(bp._weight(k, r, q)) for r, q in
+                        enumerate(reads))
+                    for k, reads in enumerate(self.instances) if reads)
+            except (TypeError, ValueError):
+                return False
+            if wmax < 0:
+                return False
+        self.cfg = _loop_geometry(p, self.instances, wmax=wmax)
         return self.cfg is not None
 
     def run(self):
@@ -1250,8 +1283,8 @@ class _DeviceLoop:
             ab = abs_[k]
             if reads:
                 ab.graph.add_graph_alignment(
-                    params, reads[0], [1] * len(reads[0]), [], None,
-                    bp._rid(k, 0), True)
+                    params, reads[0], bp._weight(k, 0, reads[0]), [],
+                    None, bp._rid(k, 0), True)
                 ab.graph.topological_sort(params)
         live = [k for k, reads in enumerate(instances)
                 if len(reads) >= 2]
@@ -1282,17 +1315,25 @@ class _DeviceLoop:
             st, i2n, n2i, remain = pls.init_state_np(graphs, cfg)
             qc = np.zeros((cfg.NR, B, cfg.Wq), np.int8)
             ql = np.zeros((cfg.NR, B), np.int32)
+            qw = (np.zeros((cfg.NR, B, cfg.Wq), np.int32)
+                  if cfg.wmode else None)
             for b, k in enumerate(part):
                 for r, q in enumerate(instances[k][1:]):
                     qc[r, b, 1:len(q) + 1] = q
                     ql[r, b] = len(q)
+                    if cfg.wmode:
+                        # weight stream is 0-based consumed-position
+                        # indexed (ref weight[q])
+                        qw[r, b, :len(q)] = bp._weight(k, r + 1, q)
             loop = self._loop_callable(cfg, interp)
-            stF, misc_d, s16_d = loop(
-                jax.tree.map(jnp.asarray, st), jnp.asarray(i2n),
-                jnp.asarray(n2i), jnp.asarray(remain), jnp.asarray(qc),
-                jnp.asarray(ql), jnp.asarray(scal_base),
-                jnp.int32(params.wb),
-                jnp.int32(round(params.wf * 1000)))
+            args = [jax.tree.map(jnp.asarray, st), jnp.asarray(i2n),
+                    jnp.asarray(n2i), jnp.asarray(remain),
+                    jnp.asarray(qc), jnp.asarray(ql),
+                    jnp.asarray(scal_base), jnp.int32(params.wb),
+                    jnp.int32(round(params.wf * 1000))]
+            if cfg.wmode:
+                args.append(jnp.asarray(qw))
+            stF, misc_d, s16_d = loop(*args)
             maxlen = int(ql.max()) if len(part) else 0
             cap = min(cfg.LS, (maxlen + max(96, maxlen // 4) + 63)
                       // 64 * 64)
@@ -1356,7 +1397,8 @@ class _DeviceLoop:
                 bp.fallbacks += 1
                 ab.graph.reset()
                 for r, q in enumerate(reads):
-                    ab.poa_one(params, q, [1] * len(q), bp._rid(k, r))
+                    ab.poa_one(params, q, bp._weight(k, r, q),
+                               bp._rid(k, r))
             else:
                 g = ab.graph
                 for r, q in enumerate(reads[1:]):
@@ -1371,7 +1413,8 @@ class _DeviceLoop:
                         # engine equivalence chain)
                         for rr in range(r + 1, len(reads)):
                             qq = reads[rr]
-                            ab.poa_one(params, qq, [1] * len(qq),
+                            ab.poa_one(params, qq,
+                                       bp._weight(k, rr, qq),
                                        bp._rid(k, rr))
                         break
                     nst = int(mi[dpp.M_NSTEPS])
@@ -1389,7 +1432,11 @@ class _DeviceLoop:
                         g.fuse_steps(params, 0, steps32, nst,
                                      int(mi[dpp.M_BJ]),
                                      int(mi[dpp.M_ENDJ]),
-                                     q, bp._rid(k, r + 1), True)
+                                     q, bp._rid(k, r + 1), True,
+                                     weight=(None
+                                             if bp._weights is None
+                                             else bp._weight(k, r + 1,
+                                                             q)))
                     else:
                         from ..align.engine_np import AlignResult
                         res = AlignResult()
@@ -1399,7 +1446,8 @@ class _DeviceLoop:
                                             int(mi[dpp.M_BJ]),
                                             int(mi[dpp.M_ENDI]),
                                             int(mi[dpp.M_ENDJ]), res)
-                        g.add_graph_alignment(params, q, [1] * len(q),
+                        g.add_graph_alignment(params, q,
+                                              bp._weight(k, r + 1, q),
                                               res.cigar, None,
                                               bp._rid(k, r + 1), True)
             if bp.precompute_cons:

@@ -44,25 +44,27 @@ def _mixed_instances():
             unrelated, seq[:3]]
 
 
-def _serial_oracle(instances, params):
+def _serial_oracle(instances, params, weights=None):
     from abpoa_tpu.api import ABPOA
     from abpoa_tpu.consensus import generate_consensus
     from abpoa_tpu.alphabet import decode_table
     dt = decode_table(params.m)
     out = []
-    for reads in instances:
+    for k, reads in enumerate(instances):
         ab = ABPOA()
         ab.n_seq = len(reads)
         ab.names = [""] * len(reads)
         ab.is_rc = [0] * len(reads)
-        ab.poa(params, reads, [[1] * len(q) for q in reads], 0)
+        ws = (weights[k] if weights is not None
+              else [[1] * len(q) for q in reads])
+        ab.poa(params, reads, ws, 0)
         generate_consensus(ab, params)
         out.append([bytes(dt[b] for b in s).decode()
                     for s in ab.cons.cons_base[:ab.cons.n_cons]])
     return out
 
 
-def _run_device_loop(instances, params, mesh=None, env=()):
+def _run_device_loop(instances, params, mesh=None, env=(), weights=None):
     from abpoa_tpu.parallel import BatchPOA
     saved = {}
     puts = {"ABPOA_DEVICE_LOOP": "1", "ABPOA_PALLAS_INTERPRET": "1",
@@ -74,7 +76,7 @@ def _run_device_loop(instances, params, mesh=None, env=()):
         os.environ[k] = v
     try:
         bp = BatchPOA(params, mesh=mesh)
-        cons = bp.run_consensus(instances)
+        cons = bp.run_consensus(instances, weights=weights)
         return bp, cons
     finally:
         for k, v in saved.items():
@@ -116,6 +118,25 @@ def test_dispatcher_amb_strand():
     exp = _serial_oracle(instances, params)
     bp, cons = _run_device_loop(instances, params)
     assert bp.used_device_loop
+    assert cons == exp
+
+
+def test_dispatcher_qv_weights():
+    """-Q batches stay on the fast path (round-4 verdict item 8): the
+    device graph kernel tracks TRUE per-base weights in wide out-edge
+    words (id | w<<16) — max_remain's heaviest-edge chase is
+    band-geometry-critical, so capped weights would silently diverge.
+    Bytes must match the serial oracle under the same weights."""
+    rng = np.random.default_rng(77)
+    params = Params().post_set()
+    seq = _reads("seq.fa", 6)
+    instances = [seq[:4], seq[1:6], seq[:3]]
+    weights = [[rng.integers(1, 60, len(q)).tolist() for q in reads]
+               for reads in instances]
+    exp = _serial_oracle(instances, params, weights=weights)
+    bp, cons = _run_device_loop(instances, params, weights=weights)
+    assert bp.used_device_loop, "qv batch skipped the device loop"
+    assert bp.fallbacks == 0
     assert cons == exp
 
 
